@@ -15,8 +15,39 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: point-in-polygon county assignment of image centroids
+    over the deterministic sf0.001 image+caption fixture (BASELINE.json
+    input_hint shape), returning per-county image counts + phash distincts.
+
+    cell-index (native Morton columns) -> broadcast cover join -> Arrow-UDF
+    ray-cast refine -> groupBy.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from biomass_processing_pipeline_spark import synth
+    from biomass_processing_pipeline_spark.operators.pip import (
+        assign_points_to_polygons,
+    )
+    from biomass_processing_pipeline_spark.sources.images import (
+        load_images,
+        with_footprint,
+    )
+
+    d = synth.ensure_fixtures(spark, "sf0.001")
+    images = load_images(spark, d)
+    fp = with_footprint(images.select("image_id"))
+    counties = pd.read_parquet(f"{d}/counties.parquet")
+    assigned = assign_points_to_polygons(spark, fp, counties, "fips")
+    return (
+        assigned.join(images, "image_id")
+        .groupBy("fips")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.countDistinct("phash").alias("n_distinct_phash"),
+        )
+        .orderBy("fips")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,94 @@
+"""Point-in-polygon assignment (SURVEY.md J7, the north_rule core operator).
+
+Two-phase filter-refine, expressed as plain DataFrame ops so Catalyst owns
+the physical plan — the same shape as the reference's coarse-ring +
+exact-bbox tile selection (``/root/reference/src/core/coordinate_utils_v3.py
+:264-318``) and its R-tree candidate + exact-intersect refine
+(``src/pipeline/optimized_county_processor_v3.py:267,309``):
+
+1. **coarse**: equi-join point ``cell_id`` against an exploded
+   (cell_id, polygon_key) covering table. The covering table is tiny
+   (polygon dictionary x covered cells) -> ``broadcast``.
+2. **refine**: vectorized ray-casting inside one Arrow-batched pandas UDF
+   over the broadcast prepared-polygon coordinate arrays (analogue of the
+   reference's per-parcel shapely ``contains``; here numpy over Arrow
+   batches, no per-row Python).
+
+Tie rule (documented, matches the golden generator): a point matching
+several polygons (shared/staircase edges) is assigned the minimum key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from biomass_processing_pipeline_spark import cells
+from biomass_processing_pipeline_spark import geometry as G
+
+
+def polygon_cover_df(
+    spark: SparkSession,
+    polys: pd.DataFrame,
+    key_col: str,
+    level: int = cells.DEFAULT_LEVEL,
+) -> DataFrame:
+    """Exploded (cell_id, key) covering table from bbox covers.
+
+    Polygon dictionaries are county-bounded and small (FIXTURES.md: <=128
+    counties), so the cover is computed driver-side in numpy and broadcast.
+    """
+    rows = []
+    for t in polys.itertuples(index=False):
+        cover = cells.cover_bbox_np(t.minx, t.miny, t.maxx, t.maxy, level)
+        key = getattr(t, key_col)
+        rows.extend((int(c), key) for c in cover)
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["cell_id", key_col]).drop_duplicates()
+    )
+
+
+def prepare_polygons(polys: pd.DataFrame, key_col: str) -> dict:
+    """key -> (xs, ys) prepared exterior rings (numpy) for the refine UDF."""
+    return {
+        getattr(t, key_col): G.parse_wkt_polygon(t.geom_wkt)
+        for t in polys.itertuples(index=False)
+    }
+
+
+def assign_points_to_polygons(
+    spark: SparkSession,
+    points: DataFrame,
+    polys: pd.DataFrame,
+    key_col: str = "fips",
+    level: int = cells.DEFAULT_LEVEL,
+    point_key: str = "image_id",
+) -> DataFrame:
+    """points(point_key, lon, lat, cell_id) -> (point_key, key_col).
+
+    Exactly-one assignment under the min-key tie rule; points outside every
+    polygon are dropped (reference drops parcels with no county context).
+    """
+    cover = polygon_cover_df(spark, polys, key_col, level)
+    prepared = spark.sparkContext.broadcast(prepare_polygons(polys, key_col))
+
+    @pandas_udf("boolean")
+    def _refine(lon: pd.Series, lat: pd.Series, key: pd.Series) -> pd.Series:
+        out = np.zeros(len(lon), dtype=bool)
+        lon_v = lon.to_numpy()
+        lat_v = lat.to_numpy()
+        key_v = key.to_numpy()
+        # group the Arrow batch by candidate polygon -> one vectorized
+        # ray-cast per polygon, not per row
+        for k in pd.unique(key_v):
+            xs, ys = prepared.value[k]
+            m = key_v == k
+            out[m] = G.points_in_polygon(lon_v[m], lat_v[m], xs, ys)
+        return pd.Series(out)
+
+    candidates = points.join(F.broadcast(cover), "cell_id")
+    refined = candidates.where(_refine(F.col("lon"), F.col("lat"), F.col(key_col)))
+    return refined.groupBy(point_key).agg(F.min(key_col).alias(key_col))
