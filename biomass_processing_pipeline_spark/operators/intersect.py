@@ -1,0 +1,163 @@
+"""Polygon x polygon intersection join (SURVEY.md J1) + crop allocation
+math (A7-A9, scalar inventory §2.7).
+
+Reference semantics: ``ST_Intersects`` + ``ST_Intersection`` area per
+(parcel, crop polygon) pair (``/root/reference/src/config/
+database_config_v3.py:82-92``; vectorized variant ``gpd.overlay``
+``src/pipeline/optimized_county_processor_v1.py:506``), then per-parcel
+area/yield/residue rollups and the dominant-crop argmax
+(``src/analyzers/crop_analyzer_v3.py:69-197,384-409``).
+
+Spark-first shape:
+
+1. coarse: cell-cover equi-join parcels x class polygons (both covers are
+   exploded (cell_id, key) tables; the class-polygon dictionary is the
+   broadcast side, per north_rule);
+2. refine: exact intersection area in one Arrow-batched grouped UDF —
+   Sutherland–Hodgman clip against the (convex) parcel rectangle, numpy;
+3. relational tail: urban-code filter (F1), tiny-intersection filter (F4),
+   yield/residue arithmetic from a broadcast crop-coefficient dimension,
+   per-parcel aggregates + dominant-crop window (A8/W2-W3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from biomass_processing_pipeline_spark import cells
+from biomass_processing_pipeline_spark import geometry as G
+from biomass_processing_pipeline_spark.synth import URBAN_CODES
+
+# crop coefficients keyed by class_code (analogue of CROP_BIOMASS_FACTORS,
+# reference src/config/database_config_v3.py:186-204): yield tons/acre,
+# residue ratio, moisture fraction, harvestable fraction
+CROP_COEFFS = {
+    1: (4.5, 1.0, 0.15, 0.50), 5: (3.2, 1.5, 0.12, 0.45),
+    24: (2.1, 1.3, 0.10, 0.40), 36: (5.5, 0.8, 0.20, 0.55),
+    2: (1.8, 1.2, 0.10, 0.40), 4: (2.5, 1.1, 0.12, 0.42),
+    21: (1.6, 1.4, 0.11, 0.38), 27: (2.0, 1.2, 0.09, 0.41),
+    28: (2.2, 1.3, 0.10, 0.44), 31: (1.4, 1.6, 0.08, 0.35),
+}
+
+
+def crop_coeff_df(spark: SparkSession) -> DataFrame:
+    rows = [
+        (code, y, r, m, h) for code, (y, r, m, h) in sorted(CROP_COEFFS.items())
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=["class_code", "yield_tpa", "residue_ratio", "moisture",
+                     "harvestable_pct"],
+        )
+    )
+
+
+def intersection_join(
+    spark: SparkSession,
+    parcels: pd.DataFrame,
+    class_polys: pd.DataFrame,
+    level: int = cells.DEFAULT_LEVEL,
+    min_acres: float = 0.01,
+) -> DataFrame:
+    """-> (parcel_id, fips, class_code, area_acres, parcel_acres, pct_of_parcel)
+
+    Exact intersection areas; rows below ``min_acres`` dropped (F4); urban
+    codes dropped (F1).
+    """
+    from biomass_processing_pipeline_spark.operators.pip import polygon_cover_df
+
+    p_cover = polygon_cover_df(spark, parcels, "parcel_id", level)
+    c_cover = polygon_cover_df(spark, class_polys, "class_poly_id", level)
+    pairs = (
+        p_cover.join(c_cover, "cell_id")
+        .select("parcel_id", "class_poly_id")
+        .distinct()
+    )
+
+    prepared_p = spark.sparkContext.broadcast({
+        t.parcel_id: G.parse_wkt_polygon(t.geom_wkt)
+        for t in parcels.itertuples(index=False)
+    })
+    prepared_c = spark.sparkContext.broadcast({
+        int(t.class_poly_id): (G.parse_wkt_polygon(t.geom_wkt), int(t.class_code))
+        for t in class_polys.itertuples(index=False)
+    })
+
+    @pandas_udf("double")
+    def _area(parcel_id: pd.Series, class_poly_id: pd.Series) -> pd.Series:
+        out = np.zeros(len(parcel_id))
+        ccw_cache: dict = {}
+        for i, (pid, cid) in enumerate(zip(parcel_id, class_poly_id)):
+            (sx, sy), _code = prepared_c.value[int(cid)]
+            if pid not in ccw_cache:
+                ccw_cache[pid] = G.ensure_ccw(*prepared_p.value[pid])
+            cxx, cyy = ccw_cache[pid]
+            # parcel rectangle is the convex clip side
+            ix, iy = G.clip_polygon_convex(sx, sy, cxx, cyy)
+            out[i] = G.approx_area_acres(ix, iy) if len(ix) >= 3 else 0.0
+        return pd.Series(out)
+
+    meta = spark.createDataFrame(
+        class_polys[["class_poly_id", "class_code"]]
+    )
+    pmeta = spark.createDataFrame(
+        pd.DataFrame({
+            "parcel_id": parcels["parcel_id"],
+            "fips": parcels["fips"],
+            "parcel_acres": parcels["acres"],
+        })
+    )
+    out = (
+        pairs.withColumn("area_acres", _area("parcel_id", "class_poly_id"))
+        .where(F.col("area_acres") >= F.lit(min_acres))
+        .join(F.broadcast(meta), "class_poly_id")
+        .where(~F.col("class_code").isin(list(URBAN_CODES)))
+        .join(F.broadcast(pmeta), "parcel_id")
+        .withColumn(
+            "pct_of_parcel", F.col("area_acres") * 100.0 / F.col("parcel_acres")
+        )
+    )
+    return out
+
+
+def crop_rollup(intersections: DataFrame, coeffs: DataFrame) -> DataFrame:
+    """A7 + §2.7 crop math: per (parcel, class) yield/residue columns."""
+    j = intersections.join(F.broadcast(coeffs), "class_code")
+    return (
+        j.withColumn("yield_tons", F.col("area_acres") * F.col("yield_tpa"))
+        .withColumn("residue_wet", F.col("yield_tons") * F.col("residue_ratio"))
+        .withColumn("residue_dry", F.col("residue_wet") * (1.0 - F.col("moisture")))
+        .withColumn(
+            "harvestable_tons", F.col("residue_dry") * F.col("harvestable_pct")
+        )
+    )
+
+
+def parcel_crop_summary(rollup: DataFrame) -> DataFrame:
+    """A7/A8: per-parcel sums + dominant crop (argmax by area, W2/W3)."""
+    per_class = rollup.groupBy("parcel_id", "fips", "class_code").agg(
+        F.sum("area_acres").alias("area_acres"),
+        F.sum("yield_tons").alias("yield_tons"),
+        F.sum("harvestable_tons").alias("harvestable_tons"),
+    )
+    w = Window.partitionBy("parcel_id").orderBy(
+        F.desc("area_acres"), F.asc("class_code")
+    )
+    ranked = per_class.withColumn("rn", F.row_number().over(w))
+    sums = per_class.groupBy("parcel_id", "fips").agg(
+        F.sum("area_acres").alias("crop_acres"),
+        F.sum("yield_tons").alias("total_yield_tons"),
+        F.sum("harvestable_tons").alias("total_harvestable_tons"),
+        F.count("*").alias("n_crops"),
+    )
+    dominant = ranked.where(F.col("rn") == 1).select(
+        "parcel_id",
+        F.col("class_code").alias("dominant_crop"),
+        F.col("area_acres").alias("dominant_acres"),
+    )
+    return sums.join(dominant, "parcel_id")

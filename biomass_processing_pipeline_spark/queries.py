@@ -1,0 +1,539 @@
+"""Driver-contract query registry: one entry per SQL-expressible operator
+from SURVEY.md §2, each with a DuckDB-checkable ANSI-SQL twin.
+
+Conventions (driver compare = row-count + schema + order-insensitive
+value-hash over name-sorted columns):
+
+- every computed column is aliased IDENTICALLY in Spark and SQL;
+- float aggregates are ``round(x, N)`` BOTH sides (and the SQL side is
+  cast back to DOUBLE — DuckDB's round() yields DECIMAL);
+- rankings order by the ROUNDED value plus a unique tiebreaker so both
+  engines rank identically;
+- LIMIT queries always carry a total order.
+
+Geospatial-semantics operators (cell index, lattice tile-assign, kNN) are
+oracled here over *derived points*: deterministic lon/lat columns computed
+from ``events.event_id`` with closed-form arithmetic that both engines
+express exactly. The real image-table variants (binary decode, ray-cast
+PIP) are pytest-golden-tested instead and exposed as rows-only queries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from biomass_processing_pipeline_spark import cells
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic derived points from events (see module docstring)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        (F.lit(-92.0) + (F.col("event_id") % 4000) * 0.001).alias("lon"),
+        (F.lit(38.0) + (F.floor(F.col("event_id") / 7) % 4000) * 0.001).alias("lat"),
+    )
+
+
+_POINTS_SQL = """
+  SELECT event_id,
+         -92.0 + (event_id % 4000) * 0.001 AS lon,
+         38.0 + ((event_id // 7) % 4000) * 0.001 AS lat
+  FROM events
+"""
+
+
+def _morton_sql(ix: str, iy: str) -> str:
+    """DuckDB SQL for the same magic-number Morton interleave as
+    cells.cell_id_col (parity proof of the native-column implementation)."""
+    def spread(v: str) -> str:
+        out = f"CAST({v} AS BIGINT)"
+        for shift, mask in ((16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+                            (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+                            (1, 0x5555555555555555)):
+            out = f"(({out}) | (({out}) << {shift})) & {mask}"
+        return out
+
+    return f"({spread(ix)}) | (({spread(iy)}) << 1)"
+
+
+# ---------------------------------------------------------------------------
+# relational operator queries (SURVEY.md §2 refs in each docstring)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """A13 county/run summary aggregate (groupBy + multi-agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+            .alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+SQL_PRICING = """
+  SELECT l_returnflag, l_linestatus,
+         CAST(ROUND(SUM(l_quantity), 4) AS DOUBLE) AS sum_qty,
+         CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_rows
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_urban_filter(spark, sf_dir):
+    """F1 urban-code NOT IN filter (database_config_v3.py:91,175)."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.where(~F.col("p_size").isin([1, 2, 3, 7, 11]))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"),
+             F.round(F.avg("p_retailprice"), 4).alias("avg_price"))
+    )
+
+
+SQL_URBAN = """
+  SELECT p_brand, COUNT(*) AS n_parts,
+         CAST(ROUND(AVG(p_retailprice), 4) AS DOUBLE) AS avg_price
+  FROM part WHERE p_size NOT IN (1, 2, 3, 7, 11) GROUP BY p_brand
+"""
+
+
+def q_minarea_filter(spark, sf_dir):
+    """F2 min-area threshold filter (database_manager_v3.py:186-187)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_quantity") > 45.0)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_big"),
+             F.round(F.sum("l_extendedprice"), 4).alias("sum_price"))
+    )
+
+
+SQL_MINAREA = """
+  SELECT l_returnflag, COUNT(*) AS n_big,
+         CAST(ROUND(SUM(l_extendedprice), 4) AS DOUBLE) AS sum_price
+  FROM lineitem WHERE l_quantity > 45.0 GROUP BY l_returnflag
+"""
+
+
+def q_null_guard(spark, sf_dir):
+    """F6 null/zero guards (database_manager_v3.py:330-343)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("value").isNotNull() & (F.col("value") > 0))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_pos"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+SQL_NULL_GUARD = """
+  SELECT event_type, COUNT(*) AS n_pos,
+         CAST(ROUND(SUM(value), 4) AS DOUBLE) AS sum_value
+  FROM events WHERE value IS NOT NULL AND value > 0 GROUP BY event_type
+"""
+
+
+def q_topk_per_group(spark, sf_dir):
+    """W1 top-k per group (ORDER BY distance LIMIT 50 analogue)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("o_custkey", "o_orderkey",
+                F.round("o_totalprice", 4).alias("price"), "rank")
+    )
+
+
+SQL_TOPK = """
+  SELECT o_custkey, o_orderkey,
+         CAST(ROUND(o_totalprice, 4) AS DOUBLE) AS price,
+         CAST(rank AS INT) AS rank FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rank
+    FROM orders) WHERE rank <= 5
+"""
+
+
+def q_dominant_argmax(spark, sf_dir):
+    """A8 dominant-crop argmax per parcel (crop_analyzer_v3.py:391)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey",
+                F.col("o_orderkey").alias("dominant_order"),
+                F.round("o_totalprice", 4).alias("dominant_price"))
+    )
+
+
+SQL_DOMINANT = """
+  SELECT o_custkey, o_orderkey AS dominant_order,
+         CAST(ROUND(o_totalprice, 4) AS DOUBLE) AS dominant_price FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders) WHERE rn = 1
+"""
+
+
+def q_weighted_mean(spark, sf_dir):
+    """A5 distance-weighted mean (forest_analyzer_v3.py:185-248):
+    sum(w*x)/sum(w) per group, here w=quantity, x=extendedprice."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_quantity") * F.col("l_extendedprice"))
+            / F.sum("l_quantity"), 4
+        ).alias("w_price"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_WEIGHTED = """
+  SELECT l_suppkey,
+         CAST(ROUND(SUM(l_quantity * l_extendedprice) / SUM(l_quantity), 4)
+              AS DOUBLE) AS w_price,
+         COUNT(*) AS n_items
+  FROM lineitem GROUP BY l_suppkey
+"""
+
+
+def q_shannon_entropy(spark, sf_dir):
+    """A10 Shannon fragmentation index (landcover_analyzer_v3.py:401-427)."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("_tot"), F.count("*").alias("n_types")
+    )
+    p = counts.crossJoin(tot).withColumn("_p", F.col("n") / F.col("_tot"))
+    return p.groupBy("n_types").agg(
+        F.round(
+            (-F.sum(F.col("_p") * F.log("_p"))) / F.log(F.max("n_types")), 6
+        ).alias("shannon_index")
+    )
+
+
+SQL_SHANNON = """
+  WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type),
+       t AS (SELECT SUM(n) AS tot, COUNT(*) AS n_types FROM c)
+  SELECT n_types,
+         CAST(ROUND((-SUM((n/tot) * LN(n/tot))) / LN(n_types), 6) AS DOUBLE)
+           AS shannon_index
+  FROM c, t GROUP BY n_types
+"""
+
+
+def q_bounds_agg(spark, sf_dir):
+    """A1 bounds aggregate (ST_Extent analogue)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.min("o_totalprice"), 4).alias("min_price"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+SQL_BOUNDS = """
+  SELECT o_orderpriority,
+         CAST(ROUND(MIN(o_totalprice), 4) AS DOUBLE) AS min_price,
+         CAST(ROUND(MAX(o_totalprice), 4) AS DOUBLE) AS max_price,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_semi_join(spark, sf_dir):
+    """J3 semi join (plt_cn = ANY(...) trees prefetch)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 200000.0)
+    return (
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_items"),
+             F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+    )
+
+
+SQL_SEMI = """
+  SELECT l_returnflag, COUNT(*) AS n_items,
+         CAST(ROUND(SUM(l_quantity), 4) AS DOUBLE) AS sum_qty
+  FROM lineitem WHERE l_orderkey IN
+    (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000.0)
+  GROUP BY l_returnflag
+"""
+
+
+def q_dim_join(spark, sf_dir):
+    """J3/dict-lookup: broadcast dimension chain customer->nation->region
+    (the broadcast polygon/code dictionary pattern)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"),
+             F.round(F.avg("c_acctbal"), 4).alias("avg_bal"))
+    )
+
+
+SQL_DIM_JOIN = """
+  SELECT r_name, COUNT(*) AS n_customers,
+         CAST(ROUND(AVG(c_acctbal), 4) AS DOUBLE) AS avg_bal
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name
+"""
+
+
+_BANDS = [(0.0, 50000.0, "low"), (50000.0, 150000.0, "mid"),
+          (150000.0, 300000.0, "high"), (300000.0, 1e12, "whale")]
+
+
+def q_range_join(spark, sf_dir):
+    """J4 bbox interval join: non-equi BETWEEN join against a tiny
+    interval dimension (broadcast nested-loop in Spark)."""
+    o = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_BANDS, "lo double, hi double, band string")
+    return (
+        o.join(F.broadcast(bands),
+               (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi))
+        .groupBy("band")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 4).alias("sum_price"))
+    )
+
+
+SQL_RANGE_JOIN = """
+  SELECT band, COUNT(*) AS n_orders,
+         CAST(ROUND(SUM(o_totalprice), 4) AS DOUBLE) AS sum_price
+  FROM orders JOIN (VALUES (0.0, 50000.0, 'low'), (50000.0, 150000.0, 'mid'),
+                           (150000.0, 300000.0, 'high'),
+                           (300000.0, 1000000000000.0, 'whale')) b(lo, hi, band)
+    ON o_totalprice >= lo AND o_totalprice < hi
+  GROUP BY band
+"""
+
+
+def q_distinct_sort_limit(spark, sf_dir):
+    """§2.6 distinct + global sort + limit."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", "user_id").distinct()
+        .orderBy(F.asc("event_type"), F.asc("user_id"))
+        .limit(500)
+    )
+
+
+SQL_DISTINCT = """
+  SELECT DISTINCT event_type, user_id FROM events
+  ORDER BY event_type, user_id LIMIT 500
+"""
+
+
+def q_histogram_pct(spark, sf_dir):
+    """A2/A3 class histogram -> percent-of-total rollup."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("pixel_count"))
+    tot = counts.agg(F.sum("pixel_count").alias("_tot"))
+    return counts.crossJoin(tot).select(
+        "event_type", "pixel_count",
+        F.round(F.col("pixel_count") * 100.0 / F.col("_tot"), 6).alias("percent"),
+    )
+
+
+SQL_HISTOGRAM = """
+  WITH c AS (SELECT event_type, COUNT(*) AS pixel_count FROM events GROUP BY 1)
+  SELECT event_type, pixel_count,
+         CAST(ROUND(pixel_count * 100.0 / (SELECT SUM(pixel_count) FROM c), 6)
+              AS DOUBLE) AS percent
+  FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# geospatial-semantics queries over derived points (SQL-oracled)
+# ---------------------------------------------------------------------------
+
+def q_cell_index(spark, sf_dir):
+    """§2.7 hierarchical cell-id encode — native Morton columns vs the same
+    interleave spelled out in SQL (parity proof for cells.cell_id_col)."""
+    pts = _points(spark, sf_dir)
+    return pts.select(
+        "event_id",
+        cells.cell_id_col(F.col("lon"), F.col("lat"), 10).alias("cell_id"),
+        cells.cell_prefix_col(
+            cells.cell_id_col(F.col("lon"), F.col("lat"), 10), 10, 5
+        ).alias("cell_prefix"),
+    )
+
+
+def _sql_cell_index() -> str:
+    ix = "LEAST(1023, GREATEST(0, CAST(FLOOR((lon + 180.0) / 360.0 * 1024) AS BIGINT)))"
+    iy = "LEAST(1023, GREATEST(0, CAST(FLOOR((lat + 90.0) / 180.0 * 1024) AS BIGINT)))"
+    morton = _morton_sql(ix, iy)
+    return f"""
+      WITH pts AS ({_POINTS_SQL})
+      SELECT event_id, ({morton}) AS cell_id, (({morton}) >> 10) AS cell_prefix
+      FROM pts
+    """
+
+
+def q_tile_assign_lattice(spark, sf_dir):
+    """J4/J5 closed-form lattice tile assignment (tile-name math,
+    coordinate_utils_v3.py:327-358)."""
+    pts = _points(spark, sf_dir)
+    g = 0.25
+    tx = F.floor((F.col("lon") - F.lit(-92.0)) / F.lit(g)).cast("long")
+    ty = F.floor((F.col("lat") - F.lit(38.0)) / F.lit(g)).cast("long")
+    return (
+        pts.select(F.format_string("G%02d%02d", tx, ty).alias("tile_code"))
+        .groupBy("tile_code")
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
+SQL_TILE_ASSIGN = f"""
+  WITH pts AS ({_POINTS_SQL})
+  SELECT printf('G%02d%02d',
+                CAST(FLOOR((lon - (-92.0)) / 0.25) AS BIGINT),
+                CAST(FLOOR((lat - 38.0) / 0.25) AS BIGINT)) AS tile_code,
+         COUNT(*) AS n_points
+  FROM pts GROUP BY 1
+"""
+
+
+def q_knn_lattice(spark, sf_dir):
+    """J2/W1 kNN top-3 by euclidean degree distance against an 8x8 lattice
+    of targets, rank ties broken by target id — relational oracle for the
+    ring-expansion kNN operator's semantics."""
+    pts = _points(spark, sf_dir).where(F.col("event_id") % 50 == 0)
+    t = (
+        spark.range(64)
+        .select(
+            F.col("id").alias("target_id"),
+            (F.lit(-92.0) + ((F.col("id") % 8) + 0.5) * 0.5).alias("t_lon"),
+            (F.lit(38.0) + (F.floor(F.col("id") / 8) + 0.5) * 0.5).alias("t_lat"),
+        )
+    )
+    j = pts.crossJoin(F.broadcast(t)).withColumn(
+        "distance",
+        F.round(F.sqrt(F.pow(F.col("lon") - F.col("t_lon"), 2)
+                       + F.pow(F.col("lat") - F.col("t_lat"), 2)), 9),
+    )
+    w = Window.partitionBy("event_id").orderBy("distance", "target_id")
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("event_id", "target_id", "distance", "rank")
+    )
+
+
+SQL_KNN = f"""
+  WITH pts AS ({_POINTS_SQL}),
+  q AS (SELECT * FROM pts WHERE event_id % 50 = 0),
+  t AS (SELECT i + j * 8 AS target_id,
+               -92.0 + (i + 0.5) * 0.5 AS t_lon,
+               38.0 + (j + 0.5) * 0.5 AS t_lat
+        FROM generate_series(0, 7) s1(i), generate_series(0, 7) s2(j)),
+  d AS (SELECT event_id, target_id,
+               CAST(ROUND(SQRT((lon - t_lon) * (lon - t_lon)
+                               + (lat - t_lat) * (lat - t_lat)), 9) AS DOUBLE)
+                 AS distance
+        FROM q, t)
+  SELECT event_id, target_id, distance,
+         CAST(rnk AS INT) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                                 ORDER BY distance, target_id) AS rnk
+    FROM d) WHERE rnk <= 3
+"""
+
+
+def q_weighted_knn_agg(spark, sf_dir):
+    """A5 applied to the kNN output: per point, 1/(d+0.01)-weighted mean of
+    a target attribute (attr = target_id as a stand-in measurement)."""
+    knn = q_knn_lattice(spark, sf_dir)
+    wcol = 1.0 / (F.col("distance") + F.lit(0.01))
+    return knn.groupBy("event_id").agg(
+        F.round(F.sum(wcol * F.col("target_id")) / F.sum(wcol), 6).alias("w_attr"),
+        F.count("*").alias("n_neighbors"),
+    )
+
+
+SQL_WEIGHTED_KNN = f"""
+  WITH knn AS ({SQL_KNN})
+  SELECT event_id,
+         CAST(ROUND(SUM(target_id / (distance + 0.01))
+                    / SUM(1.0 / (distance + 0.01)), 6) AS DOUBLE) AS w_attr,
+         COUNT(*) AS n_neighbors
+  FROM knn GROUP BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "urban_filter": q_urban_filter,
+    "minarea_filter": q_minarea_filter,
+    "null_guard": q_null_guard,
+    "topk_per_group": q_topk_per_group,
+    "dominant_argmax": q_dominant_argmax,
+    "weighted_mean": q_weighted_mean,
+    "shannon_entropy": q_shannon_entropy,
+    "bounds_agg": q_bounds_agg,
+    "semi_join": q_semi_join,
+    "dim_join": q_dim_join,
+    "range_join": q_range_join,
+    "distinct_sort_limit": q_distinct_sort_limit,
+    "histogram_pct": q_histogram_pct,
+    "cell_index": q_cell_index,
+    "tile_assign_lattice": q_tile_assign_lattice,
+    "knn_lattice": q_knn_lattice,
+    "weighted_knn_agg": q_weighted_knn_agg,
+}
+
+ORACLES: dict[str, str] = {
+    "pricing_summary": SQL_PRICING,
+    "urban_filter": SQL_URBAN,
+    "minarea_filter": SQL_MINAREA,
+    "null_guard": SQL_NULL_GUARD,
+    "topk_per_group": SQL_TOPK,
+    "dominant_argmax": SQL_DOMINANT,
+    "weighted_mean": SQL_WEIGHTED,
+    "shannon_entropy": SQL_SHANNON,
+    "bounds_agg": SQL_BOUNDS,
+    "semi_join": SQL_SEMI,
+    "dim_join": SQL_DIM_JOIN,
+    "range_join": SQL_RANGE_JOIN,
+    "distinct_sort_limit": SQL_DISTINCT,
+    "histogram_pct": SQL_HISTOGRAM,
+    "cell_index": _sql_cell_index(),
+    "tile_assign_lattice": SQL_TILE_ASSIGN,
+    "knn_lattice": SQL_KNN,
+    "weighted_knn_agg": SQL_WEIGHTED_KNN,
+}

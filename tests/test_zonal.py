@@ -1,0 +1,72 @@
+import numpy as np
+import pandas as pd
+
+from biomass_processing_pipeline_spark.operators.zonal import (
+    decode_partials,
+    shannon_index,
+    zonal_band_stats,
+    zonal_class_histogram,
+)
+from biomass_processing_pipeline_spark.sources.images import load_images
+
+
+def _zones(spark, smoke_dir):
+    return spark.read.parquet(f"{smoke_dir}/golden_image_county.parquet")
+
+
+def test_decode_partials_match_synthesis_golden(spark, smoke_dir):
+    images = load_images(spark, smoke_dir)
+    got = decode_partials(images.limit(300)).toPandas().set_index("image_id")
+    gold = (
+        pd.read_parquet(f"{smoke_dir}/golden_zonal_image.parquet")
+        .set_index("image_id")
+        .loc[got.index]
+    )
+    assert got["phash_ok"].all()  # decode-integrity oracle (input_hint)
+    for c in ["px_count", "sum_r", "sum_nir", "sumsq_g", "ndvi_count"]:
+        assert np.allclose(got[c], gold[c]), c
+    assert np.allclose(np.vstack(got.class_hist), np.vstack(gold.class_hist))
+
+
+def test_zonal_band_stats_vs_pandas_oracle(spark, smoke_dir):
+    images = load_images(spark, smoke_dir)
+    zones = _zones(spark, smoke_dir)
+    got = (
+        zonal_band_stats(decode_partials(images), zones)
+        .toPandas()
+        .set_index("fips")
+        .sort_index()
+    )
+    gold = pd.read_parquet(f"{smoke_dir}/golden_zonal_image.parquet").merge(
+        pd.read_parquet(f"{smoke_dir}/golden_image_county.parquet"), on="image_id"
+    )
+    g = gold.groupby("fips").agg(
+        n_pixels=("px_count", "sum"), sum_r=("sum_r", "sum"),
+        sumsq_r=("sumsq_r", "sum"), nds=("ndvi_sum", "sum"), ndc=("ndvi_count", "sum"),
+    )
+    assert got["all_phash_ok"].all()
+    assert (got["n_pixels"] == g["n_pixels"]).all()
+    assert np.allclose(got["mean_r"], g["sum_r"] / g["n_pixels"])
+    mean = g["sum_r"] / g["n_pixels"]
+    std = np.sqrt(g["sumsq_r"] / g["n_pixels"] - mean**2)
+    assert np.allclose(got["std_r"], std)
+    assert np.allclose(got["ndvi_mean"], g["nds"] / g["ndc"])
+
+
+def test_class_histogram_and_shannon(spark, smoke_dir):
+    images = load_images(spark, smoke_dir)
+    zones = _zones(spark, smoke_dir)
+    per_class = zonal_class_histogram(decode_partials(images), zones)
+    pc = per_class.toPandas()
+    # percents sum to ~100 per zone (reference plausibility check,
+    # landcover_analyzer_v3.py:588-590)
+    sums = pc.groupby("fips")["percent"].sum()
+    assert np.allclose(sums, 100.0, atol=1e-6)
+    sh = shannon_index(per_class).toPandas().set_index("fips")
+    # oracle: recompute from the histogram rows in pandas
+    for fips, grp in pc.groupby("fips"):
+        p = grp.pixel_count / grp.pixel_count.sum()
+        p = p[p > 0]
+        expect = -(p * np.log(p)).sum() / np.log(len(p)) if len(p) > 1 else 0.0
+        assert abs(sh.loc[fips, "shannon_index"] - expect) < 1e-9
+    assert ((sh.shannon_index >= 0) & (sh.shannon_index <= 1.0 + 1e-9)).all()
