@@ -61,7 +61,7 @@ def knn_join(
     level: int = cells.DEFAULT_LEVEL,
     point_key: str = "image_id",
     target_key: str = "plot_cn",
-    init_ring: int = 1,
+    init_ring: int | None = None,
     max_rounds: int = 4,
 ) -> DataFrame:
     """points(point_key, lon, lat, cell_id) x targets(target_key, lon, lat)
@@ -83,6 +83,25 @@ def knn_join(
         (cells.LON_MAX - cells.LON_MIN) / (1 << level),
         (cells.LAT_MAX - cells.LAT_MIN) / (1 << level),
     )
+
+    if init_ring is None:
+        # density-based sizing: pick the ring whose disc is expected to hold
+        # ~1.5k targets, so round 1 usually completes (the reference sizes
+        # its search radius the same way — a fixed 0.1 degree default tuned
+        # to FIA plot density, processing_config_v3.py:23).
+        stats_row = targets.agg(
+            F.count("*").alias("n"),
+            F.min("t_lon").alias("x0"), F.max("t_lon").alias("x1"),
+            F.min("t_lat").alias("y0"), F.max("t_lat").alias("y1"),
+        ).collect()[0]
+        area = max((stats_row.x1 - stats_row.x0) * (stats_row.y1 - stats_row.y0), 1e-9)
+        density = max(stats_row.n / area, 1e-9)
+        r_needed = float(np.sqrt(1.5 * k / (np.pi * density)))
+        cell_h = min(
+            (cells.LON_MAX - cells.LON_MIN) / (1 << level),
+            (cells.LAT_MAX - cells.LAT_MIN) / (1 << level),
+        )
+        init_ring = max(1, int(np.ceil(r_needed / cell_h)))
 
     remaining = points.select(point_key, "lon", "lat", "cell_id")
     results = []

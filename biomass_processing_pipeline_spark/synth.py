@@ -181,17 +181,18 @@ def county_polygons(nx: int, ny: int) -> pd.DataFrame:
             stair_right = (i % 7 == 3) and (i + 1 < nx)
             stair_left = ((i - 1) % 7 == 3) and (i - 1 >= 0)
             d = 0.18 * wx
-            # right edge path bottom->top (staircase bulges into neighbor)
-            if stair_right:
-                right = [(bx, ay), (bx + d, ay + wy / 3), (bx + d, ay + 2 * wy / 3),
-                         (bx, ay + 2 * wy / 3), (bx, by)]
-            else:
-                right = [(bx, ay), (bx, by)]
-            if stair_left:
-                left = [(ax, by), (ax + d, ay + 2 * wy / 3), (ax + d, ay + wy / 3),
-                        (ax, ay + wy / 3), (ax, ay)]
-            else:
-                left = [(ax, by), (ax, ay)]
+
+            # shared staircase polyline between i and i+1, bottom->top —
+            # BOTH neighbors use the identical vertex list so the tiling is
+            # gapless and overlap-free
+            def _stair_up(x):
+                return [(x, ay), (x, ay + wy / 3), (x + d, ay + wy / 3),
+                        (x + d, ay + 2 * wy / 3), (x, ay + 2 * wy / 3), (x, by)]
+
+            right = _stair_up(bx) if stair_right else [(bx, ay), (bx, by)]
+            left = (
+                list(reversed(_stair_up(ax))) if stair_left else [(ax, by), (ax, ay)]
+            )
             ring = right + left
             xs = np.array([p[0] for p in ring])
             ys = np.array([p[1] for p in ring])
@@ -369,6 +370,11 @@ def ensure_fixtures(spark: SparkSession, tier: str = "sf0.001",
     n = cfg["images"]
     meta = image_meta_np(np.arange(n, dtype=np.int64))
     fips = assign_county_bruteforce(meta["lon"].to_numpy(), meta["lat"].to_numpy(), counties)
+    n_unassigned = int((fips == "").sum())
+    if n_unassigned:
+        raise AssertionError(
+            f"county tiling has gaps: {n_unassigned} images unassigned"
+        )
     meta["fips"] = fips
     tile_codes = assign_tile_closed_form(
         meta["lon"].to_numpy(), meta["lat"].to_numpy(), cfg["tiles"])
