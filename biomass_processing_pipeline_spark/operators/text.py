@@ -1,0 +1,145 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, document fingerprinting — all over the
+``documents`` table, native column expressions wherever possible (the
+regexp/length math is JVM-side; only the rolling-hash fingerprint needs an
+Arrow UDF).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+TOKEN_RE = r"[A-Za-z0-9]+"
+
+# tiny stopword lexicons for the n-gram/stopword language heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "est", "dans", "une"],
+    "es": ["el", "la", "de", "que", "los", "es", "una", "por"],
+}
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace/alnum token count (BPE-ish regex tokenizer stand-in)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_RE), 0))
+
+
+def quality_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / alpha / stopword ratios + a composite score
+    (the reference's plausibility-score pattern: bucketed factor means,
+    crop/forest confidence at analyzers/*_v3.py)."""
+    t = F.col(text_col)
+    n = F.length(t)
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    tokens = token_count_col(t)
+    stop_hits = F.size(
+        F.regexp_extract_all(
+            F.lower(t), F.lit(r"\b(the|and|of|to|in|is|that|with)\b"), 0
+        )
+    )
+    out = (
+        df.withColumn("n_chars_m", n)
+        .withColumn("n_tokens", tokens)
+        .withColumn("alpha_ratio", F.round(alpha / F.greatest(n, F.lit(1)), 6))
+        .withColumn("digit_ratio", F.round(digits / F.greatest(n, F.lit(1)), 6))
+        .withColumn("punct_ratio", F.round(punct / F.greatest(n, F.lit(1)), 6))
+        .withColumn(
+            "stopword_ratio",
+            F.round(stop_hits / F.greatest(tokens, F.lit(1)), 6),
+        )
+        .withColumn(
+            "avg_token_len",
+            F.round(alpha / F.greatest(tokens, F.lit(1)), 6),
+        )
+    )
+    score = (
+        F.when(F.col("alpha_ratio") > 0.6, 0.4).otherwise(
+            F.col("alpha_ratio") * 0.4 / 0.6
+        )
+        + F.when(F.col("stopword_ratio") > 0.05, 0.3).otherwise(
+            F.col("stopword_ratio") * 6.0
+        )
+        + F.when(
+            (F.col("avg_token_len") >= 3) & (F.col("avg_token_len") <= 9), 0.3
+        ).otherwise(0.1)
+    )
+    return out.withColumn("quality_score", F.round(score, 6))
+
+
+def langid_df(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID: count per-language stopword hits with
+    native regexp, argmax with deterministic tie order (en>de>fr>es ties by
+    listing order via greatest+when chain)."""
+    t = F.lower(F.col(text_col))
+    hits = {
+        lang: F.size(
+            F.regexp_extract_all(
+                t, F.lit(r"\b(" + "|".join(words) + r")\b"), 0
+            )
+        )
+        for lang, words in STOPWORDS.items()
+    }
+    df2 = df.select(id_col, *[h.alias(f"hits_{lang}") for lang, h in hits.items()])
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in STOPWORDS])
+    guess = F.when(best == 0, F.lit("unknown"))
+    for lang in STOPWORDS:  # first max wins, dict order = priority
+        guess = guess.when(F.col(f"hits_{lang}") == best, F.lit(lang))
+    return df2.withColumn("lang_guess", guess)
+
+
+def fingerprint_udf(window: int = 8, n_min: int = 8):
+    """Rolling (Rabin-Karp) hash fingerprint: the ``n_min`` smallest
+    distinct window hashes — a k-min sketch (winnowing/MOSS style).
+
+    Compared by *overlap*, not equality: a shifted/prefixed copy keeps
+    most of its window set, so most sketch entries survive; unrelated
+    docs share (w.h.p.) none. Single-value min collides too often on
+    small-vocabulary corpora and k-combined values break shift
+    robustness — the set is the right signature.
+    """
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def fingerprint(text: pd.Series) -> pd.Series:
+        base = np.uint64(257)
+        mod = np.uint64((1 << 61) - 1)
+        out = []
+        with np.errstate(over="ignore"):
+            for t in text:
+                b = np.frombuffer((t or "").encode(), dtype=np.uint8).astype(np.uint64)
+                if len(b) < window:
+                    h = np.uint64(0)
+                    for x in b:
+                        h = (h * base + x) % mod
+                    out.append([int(np.int64(h))])
+                    continue
+                # vectorized rolling hash: powers of base over the window
+                pw = np.empty(window, dtype=np.uint64)
+                pw[window - 1] = np.uint64(1)
+                for j in range(window - 2, -1, -1):
+                    pw[j] = (pw[j + 1] * base) % mod
+                n_win = len(b) - window + 1
+                idx = np.arange(window)[None, :] + np.arange(n_win)[:, None]
+                hashes = (b[idx] * pw[None, :] % mod).sum(axis=1) % mod
+                kmin = np.unique(hashes)[:n_min]
+                out.append(kmin.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return fingerprint
+
+
+def doc_stats(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """token counts + quality + fingerprint in one projection."""
+    q = quality_cols(df.select(id_col, text_col), text_col)
+    return q.withColumn("fingerprint", fingerprint_udf()(F.col(text_col))).drop(
+        text_col
+    )

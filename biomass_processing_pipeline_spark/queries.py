@@ -493,6 +493,247 @@ SQL_WEIGHTED_KNN = f"""
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: md5-groupBy keep-min-id (hash-partition dedup)."""
+    from biomass_processing_pipeline_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").select(
+        "keep_id", "n_copies"
+    )
+
+
+SQL_DEDUP_EXACT = """
+  SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+  FROM documents GROUP BY md5(text)
+"""
+
+
+def q_doc_quality(spark, sf_dir):
+    """Text-quality scoring: length/punct/stopword ratios + token count."""
+    from biomass_processing_pipeline_spark.operators.text import quality_cols
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_cols(docs.select("doc_id", "text")).select(
+        "doc_id", "n_tokens", "alpha_ratio", "digit_ratio", "punct_ratio",
+        "stopword_ratio", "avg_token_len", "quality_score",
+    )
+
+
+SQL_DOC_QUALITY = r"""
+  WITH b AS (
+    SELECT doc_id,
+           LENGTH(text) AS n,
+           LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+           LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+           LENGTH(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct,
+           LEN(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tokens,
+           LEN(regexp_extract_all(LOWER(text),
+               '\b(the|and|of|to|in|is|that|with)\b')) AS stop_hits
+    FROM documents),
+  r AS (
+    SELECT doc_id, tokens AS n_tokens,
+           CAST(ROUND(alpha * 1.0 / GREATEST(n, 1), 6) AS DOUBLE) AS alpha_ratio,
+           CAST(ROUND(digits * 1.0 / GREATEST(n, 1), 6) AS DOUBLE) AS digit_ratio,
+           CAST(ROUND(punct * 1.0 / GREATEST(n, 1), 6) AS DOUBLE) AS punct_ratio,
+           CAST(ROUND(stop_hits * 1.0 / GREATEST(tokens, 1), 6) AS DOUBLE)
+             AS stopword_ratio,
+           CAST(ROUND(alpha * 1.0 / GREATEST(tokens, 1), 6) AS DOUBLE)
+             AS avg_token_len
+    FROM b)
+  SELECT doc_id, n_tokens, alpha_ratio, digit_ratio, punct_ratio,
+         stopword_ratio, avg_token_len,
+         CAST(ROUND(
+           (CASE WHEN alpha_ratio > 0.6 THEN 0.4
+                 ELSE alpha_ratio * 0.4 / 0.6 END)
+           + (CASE WHEN stopword_ratio > 0.05 THEN 0.3
+                   ELSE stopword_ratio * 6.0 END)
+           + (CASE WHEN avg_token_len >= 3 AND avg_token_len <= 9 THEN 0.3
+                   ELSE 0.1 END), 6) AS DOUBLE) AS quality_score
+  FROM r
+"""
+
+
+def q_langid(spark, sf_dir):
+    """Stopword-vote language ID heuristic."""
+    from biomass_processing_pipeline_spark.operators.text import langid_df
+
+    docs = _t(spark, sf_dir, "documents")
+    return langid_df(docs).select("doc_id", "lang_guess")
+
+
+SQL_LANGID = r"""
+  WITH h AS (
+    SELECT doc_id,
+      LEN(regexp_extract_all(LOWER(text),
+          '\b(the|and|of|to|in|is|that|with)\b')) AS hits_en,
+      LEN(regexp_extract_all(LOWER(text),
+          '\b(der|die|und|das|ist|nicht|mit|ein)\b')) AS hits_de,
+      LEN(regexp_extract_all(LOWER(text),
+          '\b(le|la|et|les|des|est|dans|une)\b')) AS hits_fr,
+      LEN(regexp_extract_all(LOWER(text),
+          '\b(el|la|de|que|los|es|una|por)\b')) AS hits_es
+    FROM documents)
+  SELECT doc_id,
+         CASE WHEN GREATEST(hits_en, hits_de, hits_fr, hits_es) = 0
+                THEN 'unknown'
+              WHEN hits_en = GREATEST(hits_en, hits_de, hits_fr, hits_es)
+                THEN 'en'
+              WHEN hits_de = GREATEST(hits_en, hits_de, hits_fr, hits_es)
+                THEN 'de'
+              WHEN hits_fr = GREATEST(hits_en, hits_de, hits_fr, hits_es)
+                THEN 'fr'
+              ELSE 'es' END AS lang_guess
+  FROM h
+"""
+
+
+def q_jaccard_topk(spark, sf_dir):
+    """Exact n-gram Jaccard top-3 per query doc (inverted shingle index)."""
+    from biomass_processing_pipeline_spark.operators.dedup import jaccard_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_topk(docs, "text", "doc_id", k=3, query_mod=25)
+
+
+SQL_JACCARD_TOPK = """
+  WITH s AS (
+    SELECT DISTINCT doc_id, substr(LOWER(text), CAST(i AS INT), 5) AS sh
+    FROM documents, generate_series(1, 100000) g(i)
+    WHERE i <= GREATEST(LENGTH(text) - 4, 1)),
+  sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+  q AS (SELECT * FROM s WHERE doc_id % 25 = 0),
+  inter AS (
+    SELECT q.doc_id AS query_id, s.doc_id AS target_id, COUNT(*) AS ni
+    FROM q JOIN s ON q.sh = s.sh AND q.doc_id <> s.doc_id
+    GROUP BY 1, 2),
+  scored AS (
+    SELECT query_id, target_id,
+           CAST(ROUND(ni * 1.0 / (a.n + b.n - ni), 6) AS DOUBLE) AS jaccard
+    FROM inter JOIN sz a ON a.doc_id = query_id
+               JOIN sz b ON b.doc_id = target_id)
+  SELECT query_id, target_id, jaccard, CAST(rnk AS INT) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY jaccard DESC, target_id) AS rnk
+    FROM scored) WHERE rnk <= 3
+"""
+
+
+def q_sim_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 neighbors (native array math, no Python)."""
+    from biomass_processing_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.where(F.col("vec_id") % 25 == 0), k=5)
+
+
+SQL_SIM_BRUTEFORCE = """
+  WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+  norms AS (SELECT vec_id, SUM(x * x) AS n2 FROM u GROUP BY vec_id),
+  q AS (SELECT * FROM u WHERE vec_id % 25 = 0),
+  dots AS (SELECT q.vec_id AS query_id, u.vec_id AS target_id,
+                  SUM(q.x * u.x) AS dot
+           FROM q JOIN u ON q.i = u.i AND q.vec_id <> u.vec_id
+           GROUP BY 1, 2),
+  scored AS (SELECT query_id, target_id,
+                    CAST(ROUND(dot / SQRT(nq.n2 * nt.n2), 6) AS DOUBLE) AS cosine
+             FROM dots JOIN norms nq ON nq.vec_id = query_id
+                       JOIN norms nt ON nt.vec_id = target_id)
+  SELECT query_id, target_id, cosine, CAST(rnk AS INT) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, target_id) AS rnk
+    FROM scored) WHERE rnk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible: binary decode, LSH internals,
+# ray-cast refine) — pytest goldens carry the exactness checks
+# ---------------------------------------------------------------------------
+
+def _fixture(spark, sf_dir):
+    from biomass_processing_pipeline_spark import synth
+
+    return synth.ensure_fixtures(spark, synth.tier_for_sf_dir(sf_dir))
+
+
+def q_image_pip_county(spark, sf_dir):
+    """J7 ray-cast PIP over the image fixture (golden-tested in pytest)."""
+    import pandas as pd
+
+    from biomass_processing_pipeline_spark.operators.pip import (
+        assign_points_to_polygons,
+    )
+    from biomass_processing_pipeline_spark.sources.images import (
+        load_images, with_footprint,
+    )
+
+    d = _fixture(spark, sf_dir)
+    fp = with_footprint(load_images(spark, d).select("image_id"))
+    counties = pd.read_parquet(f"{d}/counties.parquet")
+    assigned = assign_points_to_polygons(spark, fp, counties, "fips")
+    return assigned.groupBy("fips").agg(F.count("*").alias("n_images"))
+
+
+def q_image_zonal_stats(spark, sf_dir):
+    """J6/A2-A12 binary decode -> per-county band stats."""
+    from biomass_processing_pipeline_spark.operators.zonal import (
+        decode_partials, zonal_band_stats,
+    )
+    from biomass_processing_pipeline_spark.sources.images import load_images
+
+    d = _fixture(spark, sf_dir)
+    images = load_images(spark, d)
+    zones = spark.read.parquet(f"{d}/golden_image_county.parquet")
+    s = zonal_band_stats(decode_partials(images), zones)
+    return s.select(
+        "fips", "n_images", "n_pixels",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("ndvi_mean", 6).alias("ndvi_mean"), "all_phash_ok",
+    )
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup candidate pairs with exact-Jaccard refine."""
+    from biomass_processing_pipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.3)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming <= 3 via block banding)."""
+    from biomass_processing_pipeline_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprints (shift-robust signature)."""
+    from biomass_processing_pipeline_spark.operators.text import fingerprint_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", fingerprint_udf()(F.col("text")).alias("fingerprint")
+    )
+
+
+def q_sim_lsh(spark, sf_dir):
+    """Random-hyperplane LSH ANN (approximate; recall tested in pytest)."""
+    from biomass_processing_pipeline_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.where(F.col("vec_id") % 25 == 0), k=5)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -515,6 +756,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_assign_lattice": q_tile_assign_lattice,
     "knn_lattice": q_knn_lattice,
     "weighted_knn_agg": q_weighted_knn_agg,
+    "dedup_exact": q_dedup_exact,
+    "doc_quality": q_doc_quality,
+    "langid": q_langid,
+    "jaccard_topk": q_jaccard_topk,
+    "sim_bruteforce": q_sim_bruteforce,
+    "image_pip_county": q_image_pip_county,
+    "image_zonal_stats": q_image_zonal_stats,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "doc_fingerprint": q_doc_fingerprint,
+    "sim_lsh": q_sim_lsh,
 }
 
 ORACLES: dict[str, str] = {
@@ -536,4 +788,12 @@ ORACLES: dict[str, str] = {
     "tile_assign_lattice": SQL_TILE_ASSIGN,
     "knn_lattice": SQL_KNN,
     "weighted_knn_agg": SQL_WEIGHTED_KNN,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "doc_quality": SQL_DOC_QUALITY,
+    "langid": SQL_LANGID,
+    "jaccard_topk": SQL_JACCARD_TOPK,
+    "sim_bruteforce": SQL_SIM_BRUTEFORCE,
+    # image_pip_county / image_zonal_stats / minhash_pairs / simhash_pairs /
+    # doc_fingerprint / sim_lsh: non-SQL-expressible (binary decode, Arrow
+    # ray-cast, LSH internals) -> rows-only driver check + pytest goldens
 }

@@ -1,0 +1,86 @@
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from biomass_processing_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+    train_centroids,
+)
+
+
+def _emb(spark, sf_dir="/root/testdata/sf0.001"):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_brute_force_matches_numpy_oracle(spark):
+    emb = _emb(spark)
+    pdf = emb.toPandas()
+    m = np.vstack(pdf.embedding.to_numpy()).astype(np.float64)
+    ids = pdf.vec_id.to_numpy()
+    norms = np.linalg.norm(m, axis=1)
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    got = brute_force_topk(emb, q, k=5).toPandas()
+    for qid in got.query_id.unique():
+        qi = np.where(ids == qid)[0][0]
+        cos = np.round((m @ m[qi]) / (norms * norms[qi]), 6)
+        cos[qi] = -np.inf
+        order = np.lexsort((ids, -cos))[:5]
+        expect = ids[order]
+        sub = got[got.query_id == qid].sort_values("rank")
+        assert (sub.target_id.to_numpy() == expect).all()
+
+
+def _planted(spark, n=300, dim=64, seed=7):
+    """Clusters of genuinely-near vectors (cosine ~0.95) — the regime LSH
+    is built for; the driver's embeddings are near-uniform (top cosine
+    ~0.33), where no sublinear ANN can have high recall."""
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n // 3, dim))
+    vecs = []
+    for i in range(n):
+        b = base[i % (n // 3)]
+        v = b + 0.15 * rng.standard_normal(dim)
+        vecs.append((i, (v / np.linalg.norm(v)).astype(np.float32).tolist()))
+    return spark.createDataFrame(
+        pd.DataFrame(vecs, columns=["vec_id", "embedding"])
+    )
+
+
+def test_lsh_recall_on_planted_clusters(spark):
+    emb = _planted(spark)
+    q = emb.where(F.col("vec_id") < 30)
+    exact = brute_force_topk(emb, q, k=2).toPandas()
+    approx = lsh_topk(emb, q, k=2, n_tables=8, n_bits=8).toPandas()
+    e = {(r.query_id, r.target_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.target_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, recall
+
+
+def test_lsh_plumbing_on_driver_table(spark):
+    emb = _emb(spark)
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    approx = lsh_topk(emb, q, k=5, n_tables=16, n_bits=6).toPandas()
+    assert approx.query_id.nunique() == q.count()
+    assert (approx.groupby("query_id")["rank"].max() <= 5).all()
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = _emb(spark)
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    cent = train_centroids(emb, n_centroids=8)
+    exact = brute_force_topk(emb, q, k=5).toPandas()
+    approx = ivf_topk(emb, q, cent, k=5, n_probe=4).toPandas()
+    e = {(r.query_id, r.target_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.target_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, recall
+
+
+def test_centroids_deterministic(spark):
+    emb = _emb(spark)
+    c1 = train_centroids(emb, n_centroids=4)
+    c2 = train_centroids(emb, n_centroids=4)
+    assert np.allclose(c1, c2)

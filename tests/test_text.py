@@ -1,0 +1,59 @@
+import pandas as pd
+from pyspark.sql import functions as F
+
+from biomass_processing_pipeline_spark.operators.text import (
+    doc_stats,
+    fingerprint_udf,
+    langid_df,
+    quality_cols,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_quality_ratios(spark):
+    df = _df(spark, [(1, "the cat and the dog!! 123")])
+    out = quality_cols(df).toPandas().iloc[0]
+    n = len("the cat and the dog!! 123")
+    assert out.n_tokens == 6
+    assert abs(out.alpha_ratio - 15 / n) < 1e-6
+    assert abs(out.digit_ratio - 3 / n) < 1e-6
+    assert abs(out.punct_ratio - 2 / n) < 1e-6
+    assert abs(out.stopword_ratio - 3 / 6) < 1e-6  # the, and, the
+    assert 0.0 <= out.quality_score <= 1.0
+
+
+def test_langid_heuristic(spark):
+    df = _df(spark, [
+        (1, "the house is big and the garden is green"),
+        (2, "das haus ist nicht klein und der garten"),
+        (3, "le chat est dans la maison et les arbres"),
+        (4, "el perro es una mascota que vive por aqui"),
+        (5, "zzz qqq xxx"),
+    ])
+    got = langid_df(df).toPandas().set_index("doc_id").lang_guess
+    assert got[1] == "en" and got[2] == "de" and got[3] == "fr"
+    assert got[4] == "es" and got[5] == "unknown"
+
+
+def test_fingerprint_shift_robust(spark):
+    base = "some long document content that stays mostly identical over time"
+    df = _df(spark, [(1, base), (2, "PREFIX " + base), (3, "totally other words")])
+    out = df.select(
+        "doc_id", fingerprint_udf()(F.col("text")).alias("fp")
+    ).toPandas().set_index("doc_id").fp
+    s1, s2, s3 = set(out[1]), set(out[2]), set(out[3])
+    # k-min sketch overlap: prefixed copy keeps most entries, stranger none
+    assert len(s1 & s2) >= len(s1) * 0.6
+    assert not (s1 & s3)
+
+
+def test_doc_stats_on_driver_table(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = doc_stats(docs).toPandas()
+    assert len(out) == docs.count()
+    assert (out.n_tokens > 0).all()
+    distinct_fps = {tuple(fp) for fp in out.fingerprint}
+    assert len(distinct_fps) > len(out) * 0.9
