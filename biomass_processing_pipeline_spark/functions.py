@@ -1,0 +1,163 @@
+"""Scalar function inventory (SURVEY.md §2.7) as native Column expressions.
+
+Everything here is JVM-side (whole-stage codegen) — no Python. Each
+function cites the reference behavior it reproduces; formulas are kept
+bit-identical for parity where the reference documents constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# unit conversions (crop_analyzer_v3.py:175; database_manager_v3.py:187;
+# optimized_county_processor_v1.py:580)
+ACRES_PER_M2 = 0.000247105
+M2_PER_ACRE = 4047.0
+LB_PER_TON = 2000.0
+
+
+def m2_to_acres(c: Column) -> Column:
+    return c * F.lit(ACRES_PER_M2)
+
+
+def acres_to_m2(c: Column) -> Column:
+    return c * F.lit(M2_PER_ACRE)
+
+
+def lb_to_tons(c: Column) -> Column:
+    return c / F.lit(LB_PER_TON)
+
+
+def utm_zone(lon: Column) -> Column:
+    """coordinate_utils_v3.py:171-198: int((lon+180)//6)+1."""
+    return (F.floor((lon + 180.0) / 6.0) + 1).cast("int")
+
+
+def utm_epsg(lon: Column, lat: Column) -> Column:
+    """EPSG 326xx north / 327xx south."""
+    return F.when(lat >= 0, utm_zone(lon) + 32600).otherwise(utm_zone(lon) + 32700)
+
+
+def lat_band(lat: Column) -> Column:
+    """Piecewise lat -> MGRS band letter (coordinate_utils_v3.py:272-289,
+    bands Q..V over the CONUS-ish range; X fallback outside)."""
+    return (
+        F.when((lat >= 16) & (lat < 24), "Q")
+        .when((lat >= 24) & (lat < 32), "R")
+        .when((lat >= 32) & (lat < 40), "S")
+        .when((lat >= 40) & (lat < 48), "T")
+        .when((lat >= 48) & (lat < 56), "U")
+        .when((lat >= 56) & (lat < 64), "V")
+        .otherwise("X")
+    )
+
+
+def mgrs_like_tile_id(lon: Column, lat: Column) -> Column:
+    """zone + band compose (MGRS-name shape '14T', parse regex
+    coordinate_utils_v3.py:200-229)."""
+    return F.concat(F.format_string("%02d", utm_zone(lon)), lat_band(lat))
+
+
+def parse_tile_id(tile: Column) -> tuple[Column, Column]:
+    """regex parse of '14TQQ'-shaped ids -> (zone:int, band:string)."""
+    return (
+        F.regexp_extract(tile, r"^(\d{2})([A-Z])", 1).cast("int"),
+        F.regexp_extract(tile, r"^(\d{2})([A-Z])", 2),
+    )
+
+
+def worldcover_tile_name(lon: Column, lat: Column) -> Column:
+    """coordinate_utils_v3.py:327-358: floor to 3-degree lattice, name
+    N%02dW%03d (northern/western hemisphere naming as the reference)."""
+    lat3 = (F.floor(lat / 3) * 3).cast("int")
+    lon3 = (F.floor(lon / 3) * 3).cast("int")
+    return F.concat(
+        F.when(lat3 >= 0, F.format_string("N%02d", lat3))
+        .otherwise(F.format_string("S%02d", -lat3)),
+        F.when(lon3 < 0, F.format_string("W%03d", -lon3))
+        .otherwise(F.format_string("E%03d", lon3)),
+    )
+
+
+def valid_lonlat(lon: Column, lat: Column) -> Column:
+    """geometry_utils_v1.py:187-198 bounds check."""
+    return (lon >= -180.0) & (lon <= 180.0) & (lat >= -90.0) & (lat <= 90.0)
+
+
+def approx_area_acres_cols(deg2_area: Column, mean_lat: Column) -> Column:
+    """geometry_utils_v1.py:55-83: deg^2 * 111320^2 * cos(lat) -> acres."""
+    return (
+        deg2_area * F.lit(111320.0 * 111320.0)
+        * F.cos(F.radians(mean_lat)) * F.lit(ACRES_PER_M2)
+    )
+
+
+# vegetation indices (vegetation_analyzer_v3.py:112-157) with
+# zero-denominator guards, as column math over band-mean columns
+def ndvi(nir: Column, red: Column) -> Column:
+    d = nir + red
+    return F.when(d != 0, (nir - red) / d).otherwise(F.lit(0.0))
+
+
+def evi(nir: Column, red: Column, blue: Column) -> Column:
+    d = nir + 6.0 * red - 7.5 * blue + 1.0
+    return F.when(d != 0, 2.5 * (nir - red) / d).otherwise(F.lit(0.0))
+
+
+def savi(nir: Column, red: Column, soil_l: float = 0.5) -> Column:
+    d = nir + red + soil_l
+    return F.when(d != 0, (1.0 + soil_l) * (nir - red) / d).otherwise(F.lit(0.0))
+
+
+def ndwi(green: Column, nir: Column) -> Column:
+    d = green + nir
+    return F.when(d != 0, (green - nir) / d).otherwise(F.lit(0.0))
+
+
+# forest component math (forest_analyzer_v3.py:203-221)
+def standing_biomass(ag: Column, bg: Column) -> Column:
+    return ag + bg
+
+
+def harvestable_biomass(bole: Column, sawlog: Column, stem: Column) -> Column:
+    return bole + sawlog + 0.8 * stem
+
+
+def residue_biomass(branch: Column, foliage: Column, stump: Column,
+                    stem: Column) -> Column:
+    return branch + foliage + stump + 0.2 * stem
+
+
+def ndvi_biomass_multiplier(ndvi_col: Column) -> Column:
+    """NDVI-bucketed regional fallback multiplier
+    (forest_analyzer_v3.py:392-454): denser canopy -> more biomass."""
+    return (
+        F.when(ndvi_col >= 0.7, 1.3)
+        .when(ndvi_col >= 0.5, 1.0)
+        .when(ndvi_col >= 0.3, 0.7)
+        .when(ndvi_col >= 0.1, 0.4)
+        .otherwise(0.1)
+    )
+
+
+def confidence_score(
+    n_sources: Column, coverage_pct: Column, ndvi_quality: Column,
+) -> Column:
+    """Piecewise bucketed confidence (pattern of
+    forest_analyzer_v3.py:460-522 / crop_analyzer_v3.py:264-317 /
+    vegetation_analyzer_v3.py:170-231): mean of 3 bucketed factors in
+    [0, 1]."""
+    f1 = (
+        F.when(n_sources >= 3, 1.0).when(n_sources == 2, 0.8)
+        .when(n_sources == 1, 0.5).otherwise(0.1)
+    )
+    f2 = (
+        F.when(coverage_pct >= 95.0, 1.0).when(coverage_pct >= 80.0, 0.8)
+        .when(coverage_pct >= 50.0, 0.6).otherwise(0.3)
+    )
+    f3 = (
+        F.when(ndvi_quality >= 0.6, 1.0).when(ndvi_quality >= 0.3, 0.7)
+        .otherwise(0.4)
+    )
+    return F.round((f1 + f2 + f3) / 3.0, 3)

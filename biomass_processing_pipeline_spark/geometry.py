@@ -155,6 +155,37 @@ def bounds_intersect(
     return not (a[2] < b[0] or b[2] < a[0] or a[3] < b[1] or b[3] < a[1])
 
 
+def is_rectilinear(xs: np.ndarray, ys: np.ndarray) -> bool:
+    """True iff every edge is axis-parallel."""
+    x1, y1 = np.roll(xs, -1), np.roll(ys, -1)
+    return bool(np.all((xs == x1) | (ys == y1)))
+
+
+def decompose_rectilinear(xs: np.ndarray, ys: np.ndarray) -> list[tuple[float, float, float, float]]:
+    """Partition a simple rectilinear polygon into axis-aligned rectangles.
+
+    Horizontal-slab scanline: cut at every distinct y, find the x-intervals
+    inside the polygon at each slab's midline (even-odd crossings of the
+    vertical edges). Exact for rectilinear rings; lets point-in-polygon be a
+    pure bbox test (no UDF) — the engine's fast path for gridded county /
+    tile dictionaries.
+    """
+    ycuts = np.unique(ys)
+    out: list[tuple[float, float, float, float]] = []
+    x1, y1 = np.roll(xs, -1), np.roll(ys, -1)
+    vert = xs == x1  # vertical edges
+    for y0v, y1v in zip(ycuts[:-1], ycuts[1:]):
+        mid = (y0v + y1v) / 2.0
+        # vertical edges spanning the midline
+        lo = np.minimum(ys, y1)
+        hi = np.maximum(ys, y1)
+        crossing = vert & (lo <= mid) & (hi > mid)
+        cx = np.sort(xs[crossing])
+        for a, b in zip(cx[0::2], cx[1::2]):
+            out.append((float(a), float(y0v), float(b), float(y1v)))
+    return out
+
+
 def is_valid_ring(xs: np.ndarray, ys: np.ndarray) -> bool:
     """Minimal validity: >=3 distinct vertices, finite, nonzero area."""
     if len(xs) < 3 or not (np.isfinite(xs).all() and np.isfinite(ys).all()):

@@ -30,24 +30,54 @@ from biomass_processing_pipeline_spark import cells
 from biomass_processing_pipeline_spark import geometry as G
 
 
+def _is_rectangle(xs: np.ndarray, ys: np.ndarray) -> bool:
+    """True iff the ring is exactly its own bbox (4 corner vertices)."""
+    if len(xs) != 4:
+        return False
+    corners = {(xs.min(), ys.min()), (xs.max(), ys.min()),
+               (xs.max(), ys.max()), (xs.min(), ys.max())}
+    return {(x, y) for x, y in zip(xs, ys)} == corners
+
+
 def polygon_cover_df(
     spark: SparkSession,
     polys: pd.DataFrame,
     key_col: str,
     level: int = cells.DEFAULT_LEVEL,
+    with_bbox: bool = False,
 ) -> DataFrame:
-    """Exploded (cell_id, key) covering table from bbox covers.
+    """Exploded (cell_id, key[, bbox, is_rect]) covering table.
 
     Polygon dictionaries are county-bounded and small (FIXTURES.md: <=128
     counties), so the cover is computed driver-side in numpy and broadcast.
+    ``with_bbox`` adds the polygon bbox + an ``is_rect`` flag so the join
+    can refine rectangles with pure column predicates (no Python at all)
+    and send only genuinely concave candidates to the ray-cast UDF.
     """
     rows = []
     for t in polys.itertuples(index=False):
-        cover = cells.cover_bbox_np(t.minx, t.miny, t.maxx, t.maxy, level)
         key = getattr(t, key_col)
-        rows.extend((int(c), key) for c in cover)
+        if with_bbox:
+            xs, ys = G.parse_wkt_polygon(t.geom_wkt)
+            if G.is_rectilinear(xs, ys):
+                # exact rectangle decomposition: PIP becomes a pure bbox
+                # test per piece — no Python refine for this polygon at all
+                for minx, miny, maxx, maxy in G.decompose_rectilinear(xs, ys):
+                    for c in cells.cover_bbox_np(minx, miny, maxx, maxy, level):
+                        rows.append((int(c), key, minx, miny, maxx, maxy, True))
+            else:
+                for c in cells.cover_bbox_np(t.minx, t.miny, t.maxx, t.maxy, level):
+                    rows.append(
+                        (int(c), key, t.minx, t.miny, t.maxx, t.maxy, False)
+                    )
+        else:
+            cover = cells.cover_bbox_np(t.minx, t.miny, t.maxx, t.maxy, level)
+            rows.extend((int(c), key) for c in cover)
+    cols = ["cell_id", key_col]
+    if with_bbox:
+        cols += ["p_minx", "p_miny", "p_maxx", "p_maxy", "is_rect"]
     return spark.createDataFrame(
-        pd.DataFrame(rows, columns=["cell_id", key_col]).drop_duplicates()
+        pd.DataFrame(rows, columns=cols).drop_duplicates()
     )
 
 
@@ -71,8 +101,14 @@ def assign_points_to_polygons(
 
     Exactly-one assignment under the min-key tie rule; points outside every
     polygon are dropped (reference drops parcels with no county context).
+
+    Physical shape: broadcast cover join -> **native bbox filter** (kills
+    most false candidates JVM-side) -> rectangles accepted outright
+    (``is_rect``: bbox test IS the exact test) -> only concave candidates
+    cross into the Arrow ray-cast UDF. At the fixture's 5/7 rectangle
+    ratio, >70% of candidate rows never touch Python.
     """
-    cover = polygon_cover_df(spark, polys, key_col, level)
+    cover = polygon_cover_df(spark, polys, key_col, level, with_bbox=True)
     prepared = spark.sparkContext.broadcast(prepare_polygons(polys, key_col))
 
     @pandas_udf("boolean")
@@ -89,6 +125,16 @@ def assign_points_to_polygons(
             out[m] = G.points_in_polygon(lon_v[m], lat_v[m], xs, ys)
         return pd.Series(out)
 
-    candidates = points.join(F.broadcast(cover), "cell_id")
-    refined = candidates.where(_refine(F.col("lon"), F.col("lat"), F.col(key_col)))
+    candidates = points.join(F.broadcast(cover), "cell_id").where(
+        (F.col("lon") >= F.col("p_minx")) & (F.col("lon") <= F.col("p_maxx"))
+        & (F.col("lat") >= F.col("p_miny")) & (F.col("lat") <= F.col("p_maxy"))
+    )
+    # two physical branches: an OR with a UDF would push every row through
+    # Python (no short-circuit for non-deterministic exprs) — a union keeps
+    # rectangle candidates entirely JVM-side
+    rect_hits = candidates.where(F.col("is_rect"))
+    concave_hits = candidates.where(~F.col("is_rect")).where(
+        _refine(F.col("lon"), F.col("lat"), F.col(key_col))
+    )
+    refined = rect_hits.unionByName(concave_hits)
     return refined.groupBy(point_key).agg(F.min(key_col).alias(key_col))

@@ -1,0 +1,113 @@
+"""Per-partition lineage + checkpoint-resumable runs (SURVEY.md S10 / §3.2).
+
+Reference semantics: a ``processing_checkpoints`` table upserted after
+every batch (``/root/reference/src/core/database_manager_v3.py:529-642``),
+consumed on restart to skip completed counties/batches
+(``src/pipeline/comprehensive_biomass_processor_v3.py:139-149``).
+
+Spark-first shape: the resumable unit is a *bucket* (cell-prefix
+partition). Results are written ``partitionBy(bucket)`` with dynamic
+partition overwrite (idempotent re-runs); a lineage parquet gets one row
+per completed bucket (bucket, rows_out, duration, run_id, ts). Resume =
+anti-join pending buckets against completed lineage — no driver-side
+bookkeeping loops.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = (
+    "bucket long, rows_out long, duration_sec double, run_id string, "
+    "status string, ts double"
+)
+
+
+def _lineage_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_lineage")
+
+
+def completed_buckets(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Buckets already marked complete (empty frame if no lineage yet)."""
+    path = _lineage_path(out_dir)
+    try:
+        lin = spark.read.parquet(path)
+    except Exception:  # noqa: BLE001 - missing dir on first run
+        return spark.createDataFrame([], "bucket long")
+    return lin.where(F.col("status") == "complete").select("bucket").distinct()
+
+
+def pending(df: DataFrame, out_dir: str, bucket_col: str = "bucket") -> DataFrame:
+    """Resume filter: keep only rows in not-yet-complete buckets."""
+    done = completed_buckets(df.sparkSession, out_dir)
+    return df.join(
+        F.broadcast(done.withColumnRenamed("bucket", bucket_col)),
+        bucket_col,
+        "left_anti",
+    )
+
+
+def write_with_lineage(
+    df: DataFrame, out_dir: str, bucket_col: str = "bucket",
+    run_id: str | None = None,
+) -> dict:
+    """Write ``df`` partitioned by bucket + one lineage row per bucket.
+
+    Dynamic partition overwrite makes re-processing a bucket idempotent:
+    a crashed run that half-wrote a bucket is simply overwritten on retry
+    because its lineage row was never committed (lineage commits AFTER
+    data, mirroring the reference's checkpoint-after-batch ordering,
+    comprehensive_biomass_processor_v3.py:199-202).
+    """
+    spark = df.sparkSession
+    run_id = run_id or uuid.uuid4().hex[:12]
+    t0 = time.time()
+    data_path = os.path.join(out_dir, "data")
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(bucket_col)
+        .parquet(data_path)
+    )
+    dur = time.time() - t0
+    counts = (
+        spark.read.parquet(data_path)
+        .groupBy(F.col(bucket_col).alias("bucket"))
+        .agg(F.count("*").alias("rows_out"))
+        .withColumn("duration_sec", F.lit(round(dur, 3)))
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("status", F.lit("complete"))
+        .withColumn("ts", F.lit(time.time()))
+    )
+    counts.write.mode("append").parquet(_lineage_path(out_dir))
+    n_buckets = counts.count()
+    return {"run_id": run_id, "buckets": n_buckets, "duration_sec": round(dur, 3)}
+
+
+def run_resumable(
+    df: DataFrame, out_dir: str, bucket_col: str = "bucket",
+) -> dict:
+    """One resumable step: filter pending buckets -> write -> lineage.
+
+    Calling it again after a partial/failed run processes only what's
+    missing; calling on a finished output is a no-op.
+    """
+    todo = pending(df, out_dir, bucket_col)
+    if todo.isEmpty():
+        return {"run_id": None, "buckets": 0, "duration_sec": 0.0}
+    return write_with_lineage(todo, out_dir, bucket_col)
+
+
+def lineage_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
+    """A13-style run summary over the lineage table."""
+    lin = spark.read.parquet(_lineage_path(out_dir))
+    return lin.groupBy("run_id", "status").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("rows_out").alias("rows_out"),
+        F.round(F.max("duration_sec"), 3).alias("duration_sec"),
+    )

@@ -492,6 +492,133 @@ SQL_WEIGHTED_KNN = f"""
 """
 
 
+def q_scalar_geo(spark, sf_dir):
+    """§2.7 scalar inventory: UTM zone/EPSG, lat band, WorldCover tile
+    name, MGRS-like id, coordinate validation — native column math."""
+    from biomass_processing_pipeline_spark import functions as BF
+
+    pts = _points(spark, sf_dir)
+    lon, lat = F.col("lon"), F.col("lat")
+    return pts.select(
+        "event_id",
+        BF.utm_zone(lon).alias("utm_zone"),
+        BF.utm_epsg(lon, lat).alias("utm_epsg"),
+        BF.lat_band(lat).alias("lat_band"),
+        BF.worldcover_tile_name(lon, lat).alias("wc_tile"),
+        BF.mgrs_like_tile_id(lon, lat).alias("mgrs_id"),
+        BF.valid_lonlat(lon, lat).alias("coord_ok"),
+    )
+
+
+SQL_SCALAR_GEO = f"""
+  WITH pts AS ({_POINTS_SQL})
+  SELECT event_id,
+         CAST(FLOOR((lon + 180.0) / 6.0) + 1 AS INT) AS utm_zone,
+         CAST(CASE WHEN lat >= 0
+                   THEN FLOOR((lon + 180.0) / 6.0) + 1 + 32600
+                   ELSE FLOOR((lon + 180.0) / 6.0) + 1 + 32700 END AS INT)
+           AS utm_epsg,
+         CASE WHEN lat >= 16 AND lat < 24 THEN 'Q'
+              WHEN lat >= 24 AND lat < 32 THEN 'R'
+              WHEN lat >= 32 AND lat < 40 THEN 'S'
+              WHEN lat >= 40 AND lat < 48 THEN 'T'
+              WHEN lat >= 48 AND lat < 56 THEN 'U'
+              WHEN lat >= 56 AND lat < 64 THEN 'V'
+              ELSE 'X' END AS lat_band,
+         (CASE WHEN CAST(FLOOR(lat / 3) * 3 AS INT) >= 0
+               THEN printf('N%02d', CAST(FLOOR(lat / 3) * 3 AS INT))
+               ELSE printf('S%02d', -CAST(FLOOR(lat / 3) * 3 AS INT)) END ||
+          CASE WHEN CAST(FLOOR(lon / 3) * 3 AS INT) < 0
+               THEN printf('W%03d', -CAST(FLOOR(lon / 3) * 3 AS INT))
+               ELSE printf('E%03d', CAST(FLOOR(lon / 3) * 3 AS INT)) END)
+           AS wc_tile,
+         (printf('%02d', CAST(FLOOR((lon + 180.0) / 6.0) + 1 AS INT)) ||
+          CASE WHEN lat >= 16 AND lat < 24 THEN 'Q'
+               WHEN lat >= 24 AND lat < 32 THEN 'R'
+               WHEN lat >= 32 AND lat < 40 THEN 'S'
+               WHEN lat >= 40 AND lat < 48 THEN 'T'
+               WHEN lat >= 48 AND lat < 56 THEN 'U'
+               WHEN lat >= 56 AND lat < 64 THEN 'V'
+               ELSE 'X' END) AS mgrs_id,
+         (lon >= -180.0 AND lon <= 180.0 AND lat >= -90.0 AND lat <= 90.0)
+           AS coord_ok
+  FROM pts
+"""
+
+
+def q_veg_indices(spark, sf_dir):
+    """§2.7 vegetation indices + forest component math + confidence, as
+    column math over bands derived from event ids (guards included)."""
+    from biomass_processing_pipeline_spark import functions as BF
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "event_id",
+        (F.col("event_id") % 256).cast("double").alias("red"),
+        (F.floor(F.col("event_id") / 256) % 256).cast("double").alias("green"),
+        (F.floor(F.col("event_id") / 65536) % 256).cast("double").alias("nir"),
+        (F.col("user_id") % 256).cast("double").alias("blue"),
+    )
+    out = d.select(
+        "event_id",
+        F.round(BF.ndvi(F.col("nir"), F.col("red")), 6).alias("ndvi"),
+        F.round(BF.evi(F.col("nir"), F.col("red"), F.col("blue")), 6).alias("evi"),
+        F.round(BF.savi(F.col("nir"), F.col("red")), 6).alias("savi"),
+        F.round(BF.ndwi(F.col("green"), F.col("nir")), 6).alias("ndwi"),
+        F.round(
+            BF.harvestable_biomass(F.col("red"), F.col("green"), F.col("nir")), 6
+        ).alias("harvestable"),
+        BF.ndvi_biomass_multiplier(
+            BF.ndvi(F.col("nir"), F.col("red"))
+        ).alias("biomass_mult"),
+        BF.confidence_score(
+            (F.col("event_id") % 4).cast("int"),
+            (F.col("event_id") % 100).cast("double"),
+            BF.ndvi(F.col("nir"), F.col("red")),
+        ).alias("confidence"),
+    )
+    return out
+
+
+SQL_VEG_INDICES = """
+  WITH d AS (
+    SELECT event_id,
+           CAST(event_id % 256 AS DOUBLE) AS red,
+           CAST((event_id // 256) % 256 AS DOUBLE) AS green,
+           CAST((event_id // 65536) % 256 AS DOUBLE) AS nir,
+           CAST(user_id % 256 AS DOUBLE) AS blue
+    FROM events)
+  SELECT event_id,
+    CAST(ROUND(CASE WHEN nir + red <> 0 THEN (nir - red) / (nir + red)
+                    ELSE 0.0 END, 6) AS DOUBLE) AS ndvi,
+    CAST(ROUND(CASE WHEN nir + 6.0*red - 7.5*blue + 1.0 <> 0
+                    THEN 2.5 * (nir - red) / (nir + 6.0*red - 7.5*blue + 1.0)
+                    ELSE 0.0 END, 6) AS DOUBLE) AS evi,
+    CAST(ROUND(CASE WHEN nir + red + 0.5 <> 0
+                    THEN 1.5 * (nir - red) / (nir + red + 0.5)
+                    ELSE 0.0 END, 6) AS DOUBLE) AS savi,
+    CAST(ROUND(CASE WHEN green + nir <> 0 THEN (green - nir) / (green + nir)
+                    ELSE 0.0 END, 6) AS DOUBLE) AS ndwi,
+    CAST(ROUND(red + green + 0.8 * nir, 6) AS DOUBLE) AS harvestable,
+    CAST(CASE WHEN n >= 0.7 THEN 1.3 WHEN n >= 0.5 THEN 1.0
+              WHEN n >= 0.3 THEN 0.7 WHEN n >= 0.1 THEN 0.4
+              ELSE 0.1 END AS DOUBLE) AS biomass_mult,
+    CAST(ROUND((
+      (CASE WHEN ns >= 3 THEN 1.0 WHEN ns = 2 THEN 0.8
+            WHEN ns = 1 THEN 0.5 ELSE 0.1 END)
+      + (CASE WHEN cov >= 95.0 THEN 1.0 WHEN cov >= 80.0 THEN 0.8
+              WHEN cov >= 50.0 THEN 0.6 ELSE 0.3 END)
+      + (CASE WHEN n >= 0.6 THEN 1.0 WHEN n >= 0.3 THEN 0.7
+              ELSE 0.4 END)) / 3.0, 3) AS DOUBLE) AS confidence
+  FROM (SELECT *,
+               CASE WHEN nir + red <> 0 THEN (nir - red) / (nir + red)
+                    ELSE 0.0 END AS n,
+               CAST(event_id % 4 AS INT) AS ns,
+               CAST(event_id % 100 AS DOUBLE) AS cov
+        FROM d)
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -756,6 +883,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_assign_lattice": q_tile_assign_lattice,
     "knn_lattice": q_knn_lattice,
     "weighted_knn_agg": q_weighted_knn_agg,
+    "scalar_geo": q_scalar_geo,
+    "veg_indices": q_veg_indices,
     "dedup_exact": q_dedup_exact,
     "doc_quality": q_doc_quality,
     "langid": q_langid,
@@ -788,6 +917,8 @@ ORACLES: dict[str, str] = {
     "tile_assign_lattice": SQL_TILE_ASSIGN,
     "knn_lattice": SQL_KNN,
     "weighted_knn_agg": SQL_WEIGHTED_KNN,
+    "scalar_geo": SQL_SCALAR_GEO,
+    "veg_indices": SQL_VEG_INDICES,
     "dedup_exact": SQL_DEDUP_EXACT,
     "doc_quality": SQL_DOC_QUALITY,
     "langid": SQL_LANGID,

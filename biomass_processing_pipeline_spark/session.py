@@ -42,12 +42,26 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # 24g, not "as much as possible": oversized heaps (48g+) showed 3-4x
+        # GC-pause spikes on the shuffle-heavy benchmark jobs
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # ZGC: G1 showed multi-second pause storms at 32 mutator threads on
+        # shuffle-heavy jobs (measured medians: ZGC 1.5s, ParallelGC 2.4s,
+        # G1 4.5-8.8s for the same warm job)
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("BPP_GC", "-XX:+UseZGC"))
         .config("spark.ui.enabled", "false")
         # broadcast threshold: polygon/code dictionaries are small; let
         # Catalyst broadcast up to 64 MB before falling back to sort-merge.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # local mode: shuffle files through tmpfs — with 32 concurrent shuffle
+    # writers a disk-backed /tmp serializes the job (observed 3x slowdown);
+    # on a real cluster this is the executors' local NVMe instead.
+    if os.path.isdir("/dev/shm"):
+        shm = "/dev/shm/bpp-spark-local"
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
