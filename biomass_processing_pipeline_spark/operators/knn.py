@@ -54,6 +54,42 @@ def _ring_udf(level: int, k: int):
     return ring
 
 
+def _local_topk(cand: DataFrame, k: int, point_key: str, target_key: str) -> DataFrame:
+    """Partition-local exact top-k (valid when all candidates of a point
+    share its partition, i.e. after a broadcast candidate join). Emits
+    per-row (_n, _dmax) — candidate count and k-th distance — for the
+    ring-completion guard. One pandas pass, zero shuffles."""
+    fields = {f.name: f for f in cand.schema.fields}
+    schema = T.StructType([
+        fields[point_key], fields[target_key],
+        T.StructField("distance", T.DoubleType()),
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("_n", T.LongType()),
+        T.StructField("_dmax", T.DoubleType()),
+    ])
+
+    def _topk(batches):
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(
+            [point_key, "distance", target_key], kind="mergesort"
+        )
+        grp = pdf.groupby(point_key, sort=False)
+        pdf["rank"] = (grp.cumcount() + 1).astype(np.int32)
+        pdf["_n"] = grp[target_key].transform("size").clip(upper=k)
+        take = pdf[pdf["rank"] <= k].copy()
+        take["_dmax"] = take.groupby(point_key, sort=False)["distance"].transform("max")
+        yield take[[point_key, target_key, "distance", "rank", "_n", "_dmax"]]
+
+    return cand.select(
+        point_key, target_key, "distance"
+    ).mapInPandas(_topk, schema=schema)
+
+
 def knn_join(
     points: DataFrame,
     targets: DataFrame,
@@ -62,12 +98,22 @@ def knn_join(
     point_key: str = "image_id",
     target_key: str = "plot_cn",
     init_ring: int | None = None,
-    max_rounds: int = 4,
+    max_rounds: int = 4,  # kept for API compat; the 2-phase plan needs none
 ) -> DataFrame:
     """points(point_key, lon, lat, cell_id) x targets(target_key, lon, lat)
-    -> (point_key, target_key, distance, rank), rank 1..k.
+    -> (point_key, target_key, distance, rank), rank 1..k. Exact
+    (equal to brute force); ties broken by target_key ascending.
 
-    Deterministic: ties broken by target_key ascending.
+    Two-phase plan (no driver loop, no cache leaks):
+
+    1. **ring round**: targets explode to their density-sized k-ring
+       (small side!) -> broadcast candidate join (shuffle-free on the big
+       side) -> guard pre-filter -> partition-local exact top-k. A point is
+       *provably complete* iff it found k neighbors within the ring's
+       guaranteed radius. The round's output is localCheckpoint'ed: it is
+       consumed twice (results + completeness) and must not recompute.
+    2. **fallback**: the (few) unprovable points get an exact brute-force
+       window over a cross join with all targets.
     """
     targets = targets.select(
         F.col(target_key),
@@ -84,80 +130,87 @@ def knn_join(
         (cells.LAT_MAX - cells.LAT_MIN) / (1 << level),
     )
 
+    stats_row = targets.agg(
+        F.count("*").alias("n"),
+        F.min("t_lon").alias("x0"), F.max("t_lon").alias("x1"),
+        F.min("t_lat").alias("y0"), F.max("t_lat").alias("y1"),
+    ).collect()[0]
+    n_targets = max(int(stats_row.n), 1)
     if init_ring is None:
-        # density-based sizing: pick the ring whose disc is expected to hold
-        # ~1.5k targets, so round 1 usually completes (the reference sizes
-        # its search radius the same way — a fixed 0.1 degree default tuned
-        # to FIA plot density, processing_config_v3.py:23).
-        stats_row = targets.agg(
-            F.count("*").alias("n"),
-            F.min("t_lon").alias("x0"), F.max("t_lon").alias("x1"),
-            F.min("t_lat").alias("y0"), F.max("t_lat").alias("y1"),
-        ).collect()[0]
+        # density-based sizing: ring whose guaranteed disc is expected to
+        # hold ~1.5k targets, so phase 1 completes almost every point (the
+        # reference sizes its search radius the same way — a fixed 0.1 deg
+        # default tuned to FIA plot density, processing_config_v3.py:23)
         area = max((stats_row.x1 - stats_row.x0) * (stats_row.y1 - stats_row.y0), 1e-9)
-        density = max(stats_row.n / area, 1e-9)
+        density = max(n_targets / area, 1e-9)
         r_needed = float(np.sqrt(1.5 * k / (np.pi * density)))
-        cell_h = min(
-            (cells.LON_MAX - cells.LON_MIN) / (1 << level),
-            (cells.LAT_MAX - cells.LAT_MIN) / (1 << level),
-        )
-        init_ring = max(1, int(np.ceil(r_needed / cell_h)))
-
-    remaining = points.select(point_key, "lon", "lat", "cell_id")
-    results = []
+        init_ring = max(1, int(np.ceil(r_needed / cell_w_deg)))
     ring_k = init_ring
-    for rnd in range(max_rounds):
-        ring = _ring_udf(level, ring_k)
-        cand = (
-            remaining.withColumn("ring_cell", F.explode(ring(F.col("cell_id"))))
-            .join(targets, F.col("ring_cell") == F.col("t_cell"))
-            .withColumn(
-                "distance",
-                distance_deg(F.col("lon"), F.col("lat"), F.col("t_lon"), F.col("t_lat")),
-            )
-        )
-        w = Window.partitionBy(point_key).orderBy("distance", target_key)
-        topk = (
-            cand.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select(point_key, target_key, "distance", "rank", "lon", "lat", "cell_id")
-        )
-        # complete iff k found AND the k-th distance fits inside the ring disc
-        # (ring of radius r guarantees coverage of distance <= r*cell_width)
-        guard = ring_k * cell_w_deg
-        stats = topk.groupBy(point_key).agg(
-            F.count("*").alias("_n"), F.max("distance").alias("_dmax")
-        )
-        complete_keys = stats.where(
-            (F.col("_n") >= k) & (F.col("_dmax") <= guard)
-        ).select(point_key)
-        done = topk.join(F.broadcast(complete_keys), point_key, "left_semi")
-        results.append(done.select(point_key, target_key, "distance", "rank"))
-        remaining = remaining.join(
-            F.broadcast(complete_keys), point_key, "left_anti"
-        ).persist()
-        ring_k *= 2
-        if remaining.isEmpty():
-            break
+    guard = ring_k * cell_w_deg
 
-    if not remaining.isEmpty():
-        # exact fallback for stragglers (sparse neighborhoods): brute-force
-        # window over a cross join — ``remaining`` is small by now.
-        cand = remaining.crossJoin(targets).withColumn(
+    pts = points.select(point_key, "lon", "lat", "cell_id")
+    ring = _ring_udf(level, ring_k)
+    # ring expansion on the SMALL side: point's ring contains the target's
+    # cell iff the target's ring contains the point's cell (Chebyshev
+    # symmetry) — exploding targets x ring broadcasts, making the candidate
+    # join shuffle-free on the big side.
+    t_ring = targets.withColumn("ring_cell", F.explode(ring(F.col("t_cell"))))
+    ring_rows = n_targets * (2 * ring_k + 1) ** 2
+    broadcast_side = ring_rows <= 2_000_000
+    if broadcast_side:
+        t_ring = F.broadcast(t_ring)
+    cand = (
+        pts.join(t_ring, F.col("cell_id") == F.col("ring_cell"))
+        .withColumn(
             "distance",
             distance_deg(F.col("lon"), F.col("lat"), F.col("t_lon"), F.col("t_lat")),
         )
+        # beyond the guard radius a candidate can't be part of a provably
+        # complete top-k; dropping them JVM-side leaves the completion set
+        # unchanged and shrinks Arrow traffic ~10x
+        .where(F.col("distance") <= F.lit(guard))
+    )
+    if broadcast_side:
+        # broadcast join keeps every candidate of a point in the point's own
+        # partition -> exact top-k partition-locally, zero shuffles
+        topk = _local_topk(cand, k, point_key, target_key)
+    else:
         w = Window.partitionBy(point_key).orderBy("distance", target_key)
-        results.append(
-            cand.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select(point_key, target_key, "distance", "rank")
+        ranked = cand.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= k
         )
+        stats = ranked.groupBy(point_key).agg(
+            F.count("*").alias("_n"), F.max("distance").alias("_dmax")
+        )
+        topk = ranked.join(stats, point_key).select(
+            point_key, target_key, "distance", "rank", "_n", "_dmax"
+        )
+    # consumed twice below -> checkpoint once (auto-cleaned by the context
+    # cleaner; unlike persist() this cannot leak across repeated calls)
+    topk = topk.localCheckpoint(eager=False)
 
-    out = results[0]
-    for r in results[1:]:
-        out = out.unionByName(r)
-    return out
+    complete_keys = (
+        topk.where((F.col("_n") >= k) & (F.col("_dmax") <= guard))
+        .select(point_key)
+        .distinct()
+    )
+    done = topk.join(F.broadcast(complete_keys), point_key, "left_semi").select(
+        point_key, target_key, "distance", "rank"
+    )
+    # exact fallback for the unprovable stragglers: brute-force window over
+    # a cross join (tiny left side when the ring was sized right)
+    stragglers = pts.join(F.broadcast(complete_keys), point_key, "left_anti")
+    cand2 = stragglers.crossJoin(targets).withColumn(
+        "distance",
+        distance_deg(F.col("lon"), F.col("lat"), F.col("t_lon"), F.col("t_lat")),
+    )
+    w2 = Window.partitionBy(point_key).orderBy("distance", target_key)
+    fallback = (
+        cand2.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(point_key, target_key, "distance", "rank")
+    )
+    return done.unionByName(fallback)
 
 
 def distance_weighted_agg(

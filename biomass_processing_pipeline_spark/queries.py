@@ -561,10 +561,11 @@ def q_veg_indices(spark, sf_dir):
     )
     out = d.select(
         "event_id",
-        F.round(BF.ndvi(F.col("nir"), F.col("red")), 6).alias("ndvi"),
-        F.round(BF.evi(F.col("nir"), F.col("red"), F.col("blue")), 6).alias("evi"),
-        F.round(BF.savi(F.col("nir"), F.col("red")), 6).alias("savi"),
-        F.round(BF.ndwi(F.col("green"), F.col("nir")), 6).alias("ndwi"),
+        (F.round(BF.ndvi(F.col("nir"), F.col("red")), 6) + 0.0).alias("ndvi"),
+        (F.round(BF.evi(F.col("nir"), F.col("red"), F.col("blue")), 6) + 0.0)
+        .alias("evi"),
+        (F.round(BF.savi(F.col("nir"), F.col("red")), 6) + 0.0).alias("savi"),
+        (F.round(BF.ndwi(F.col("green"), F.col("nir")), 6) + 0.0).alias("ndwi"),
         F.round(
             BF.harvestable_biomass(F.col("red"), F.col("green"), F.col("nir")), 6
         ).alias("harvestable"),
@@ -590,15 +591,15 @@ SQL_VEG_INDICES = """
     FROM events)
   SELECT event_id,
     CAST(ROUND(CASE WHEN nir + red <> 0 THEN (nir - red) / (nir + red)
-                    ELSE 0.0 END, 6) AS DOUBLE) AS ndvi,
+                    ELSE 0.0 END, 6) AS DOUBLE) + 0.0 AS ndvi,
     CAST(ROUND(CASE WHEN nir + 6.0*red - 7.5*blue + 1.0 <> 0
                     THEN 2.5 * (nir - red) / (nir + 6.0*red - 7.5*blue + 1.0)
-                    ELSE 0.0 END, 6) AS DOUBLE) AS evi,
+                    ELSE 0.0 END, 6) AS DOUBLE) + 0.0 AS evi,
     CAST(ROUND(CASE WHEN nir + red + 0.5 <> 0
                     THEN 1.5 * (nir - red) / (nir + red + 0.5)
-                    ELSE 0.0 END, 6) AS DOUBLE) AS savi,
+                    ELSE 0.0 END, 6) AS DOUBLE) + 0.0 AS savi,
     CAST(ROUND(CASE WHEN green + nir <> 0 THEN (green - nir) / (green + nir)
-                    ELSE 0.0 END, 6) AS DOUBLE) AS ndwi,
+                    ELSE 0.0 END, 6) AS DOUBLE) + 0.0 AS ndwi,
     CAST(ROUND(red + green + 0.8 * nir, 6) AS DOUBLE) AS harvestable,
     CAST(CASE WHEN n >= 0.7 THEN 1.3 WHEN n >= 0.5 THEN 1.0
               WHEN n >= 0.3 THEN 0.7 WHEN n >= 0.1 THEN 0.4
