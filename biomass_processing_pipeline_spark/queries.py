@@ -492,6 +492,89 @@ SQL_WEIGHTED_KNN = f"""
 """
 
 
+def q_weighted_mode(spark, sf_dir):
+    """A6 weighted mode (dominant forest type, forest_analyzer_v3.py:644-680):
+    per kNN point, the target category with max summed 1/(d+0.01) weight."""
+    knn = q_knn_lattice(spark, sf_dir)
+    typed = knn.withColumn("cat", (F.col("target_id") % 4).cast("int"))
+    wcol = 1.0 / (F.col("distance") + F.lit(0.01))
+    per = typed.groupBy("event_id", "cat").agg(F.round(F.sum(wcol), 6).alias("w"))
+    w = Window.partitionBy("event_id").orderBy(F.desc("w"), F.asc("cat"))
+    return (
+        per.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", F.col("cat").alias("dominant_type"),
+                F.col("w").alias("type_weight"))
+    )
+
+
+SQL_WEIGHTED_MODE = f"""
+  WITH knn AS ({SQL_KNN}),
+  per AS (SELECT event_id, CAST(target_id % 4 AS INT) AS cat,
+                 CAST(ROUND(SUM(1.0 / (distance + 0.01)), 6) AS DOUBLE) AS w
+          FROM knn GROUP BY 1, 2)
+  SELECT event_id, cat AS dominant_type, w AS type_weight FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                                 ORDER BY w DESC, cat) AS rn
+    FROM per) WHERE rn = 1
+"""
+
+
+def q_percentiles(spark, sf_dir):
+    """A12 NDVI distribution stats analogue: exact median + quartiles per
+    group (reference landcover_analyzer_v3.py:459-467)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_extendedprice"), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", 0.25), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", 0.75), 4).alias("p75"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_PERCENTILES = """
+  SELECT l_returnflag,
+         CAST(ROUND(MEDIAN(l_extendedprice), 4) AS DOUBLE) AS median_price,
+         CAST(ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 4) AS DOUBLE) AS p25,
+         CAST(ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 4) AS DOUBLE) AS p75,
+         CAST(ROUND(MIN(l_extendedprice), 4) AS DOUBLE) AS min_price,
+         CAST(ROUND(MAX(l_extendedprice), 4) AS DOUBLE) AS max_price,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY l_returnflag
+"""
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_classes(spark, sf_dir):
+    """A3 class->area pivot rollup (landcover_analyzer_v3.py:246-304):
+    wide per-class columns via pivot (explicit value list -> single-pass
+    conditional aggregation, no extra distinct job)."""
+    ev = _t(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+        .na.fill(0)
+    )
+    cols = [F.col("user_id")] + [F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES]
+    return wide.select(*cols)
+
+
+SQL_PIVOT = """
+  SELECT user_id,
+         COUNT(*) FILTER (event_type = 'click') AS n_click,
+         COUNT(*) FILTER (event_type = 'error') AS n_error,
+         COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+         COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+         COUNT(*) FILTER (event_type = 'view') AS n_view
+  FROM events GROUP BY user_id
+"""
+
+
 def q_scalar_geo(spark, sf_dir):
     """§2.7 scalar inventory: UTM zone/EPSG, lat band, WorldCover tile
     name, MGRS-like id, coordinate validation — native column math."""
@@ -853,6 +936,34 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+def q_image_features(spark, sf_dir):
+    """Multimodal plumbing: decode -> thumbnail -> grid features (Arrow
+    batch pipeline over the binary column)."""
+    from biomass_processing_pipeline_spark.operators.multimodal import (
+        image_resize_features,
+    )
+    from biomass_processing_pipeline_spark.sources.images import load_images
+
+    d = _fixture(spark, sf_dir)
+    feats = image_resize_features(load_images(spark, d).limit(500))
+    return feats.select(
+        "image_id",
+        F.round(F.aggregate("features", F.lit(0.0),
+                            lambda a, x: a + x.cast("double")), 4).alias("feat_sum"),
+    )
+
+
+def q_sim_ivf(spark, sf_dir):
+    """IVF approximate nearest neighbors (centroid-probe pruning)."""
+    from biomass_processing_pipeline_spark.operators.similarity import (
+        ivf_topk, train_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = train_centroids(emb, n_centroids=16)
+    return ivf_topk(emb, emb.where(F.col("vec_id") % 25 == 0), cent, k=5)
+
+
 def q_sim_lsh(spark, sf_dir):
     """Random-hyperplane LSH ANN (approximate; recall tested in pytest)."""
     from biomass_processing_pipeline_spark.operators.similarity import lsh_topk
@@ -886,6 +997,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_knn_agg": q_weighted_knn_agg,
     "scalar_geo": q_scalar_geo,
     "veg_indices": q_veg_indices,
+    "weighted_mode": q_weighted_mode,
+    "percentiles": q_percentiles,
+    "pivot_classes": q_pivot_classes,
     "dedup_exact": q_dedup_exact,
     "doc_quality": q_doc_quality,
     "langid": q_langid,
@@ -897,6 +1011,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "doc_fingerprint": q_doc_fingerprint,
     "sim_lsh": q_sim_lsh,
+    "sim_ivf": q_sim_ivf,
+    "image_features": q_image_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -920,6 +1036,9 @@ ORACLES: dict[str, str] = {
     "weighted_knn_agg": SQL_WEIGHTED_KNN,
     "scalar_geo": SQL_SCALAR_GEO,
     "veg_indices": SQL_VEG_INDICES,
+    "weighted_mode": SQL_WEIGHTED_MODE,
+    "percentiles": SQL_PERCENTILES,
+    "pivot_classes": SQL_PIVOT,
     "dedup_exact": SQL_DEDUP_EXACT,
     "doc_quality": SQL_DOC_QUALITY,
     "langid": SQL_LANGID,

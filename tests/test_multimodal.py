@@ -1,0 +1,65 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from biomass_processing_pipeline_spark import imaging, synth
+from biomass_processing_pipeline_spark.operators.multimodal import (
+    audio_features,
+    decode_audio,
+    fake_audio_decoder,
+    image_resize_features,
+    resize_block_mean,
+    video_frame_sample,
+)
+from biomass_processing_pipeline_spark.sources.images import load_images
+
+
+def test_resize_block_mean_exact():
+    px = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    out = resize_block_mean(px, 2, 2)
+    assert out.shape == (2, 2, 3)
+    assert out[0, 0, 0] == int(px[:4, :4, 0].mean())
+
+
+def test_image_resize_features(spark, smoke_dir):
+    images = load_images(spark, smoke_dir).limit(50)
+    out = image_resize_features(images).toPandas()
+    assert len(out) == 50
+    assert all(len(f) == 4 * 4 * 3 for f in out.features)
+    th = imaging.decode_image(out.thumb.iloc[0])
+    assert th.shape == (8, 8, 3)
+    # features deterministic across runs
+    out2 = image_resize_features(images).toPandas()
+    a = out.sort_values("image_id").features.iloc[0]
+    b = out2.sort_values("image_id").features.iloc[0]
+    assert np.allclose(a, b)
+
+
+def test_video_frame_sample(spark):
+    frames = [synth.image_pixels(i, 16, 16) for i in range(6)]
+    blob = b"".join(imaging.encode_image(f, "raw") for f in frames)
+    df = spark.createDataFrame(
+        pd.DataFrame([{"video_id": "v1", "bytes": blob, "n_frames": 6,
+                       "w": 16, "h": 16}])
+    )
+    out = video_frame_sample(df, every_k=2).toPandas()
+    assert list(out.frame_idx) == [0, 2, 4]
+    assert np.isclose(out.mean_lum.iloc[0], frames[0].mean(), atol=0.5)
+
+
+def test_audio_stub_and_fake(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame([
+            {"audio_id": "a1", "bytes": bytes(range(0, 128))},
+            {"audio_id": "a2", "bytes": b"\x00" * 64},
+        ])
+    )
+    out = audio_features(df, decoder=fake_audio_decoder).toPandas()
+    out = out.set_index("audio_id")
+    assert out.loc["a1"].duration_samples == 128
+    assert out.loc["a2"].rms == 0.0
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"xx")
+    # default (stub) decoder must surface the NotImplementedError via Spark
+    with pytest.raises(Exception, match="NotImplementedError|no audio codec"):
+        audio_features(df).collect()

@@ -1,0 +1,80 @@
+import shutil
+import tempfile
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from biomass_processing_pipeline_spark.operators.forest import (
+    harvest_probability,
+    weighted_mode,
+    weighted_stand_age,
+)
+from biomass_processing_pipeline_spark.operators.knn import knn_join
+from biomass_processing_pipeline_spark.sources.images import load_images, with_footprint
+from biomass_processing_pipeline_spark.sources.sinks import (
+    append_detail,
+    upsert_parquet,
+    write_csv,
+)
+
+
+def test_upsert_semantics(spark):
+    out = tempfile.mkdtemp(prefix="bpp_upsert_") + "/t"
+    try:
+        v1 = spark.createDataFrame(
+            pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]})
+        )
+        assert upsert_parquet(spark, v1, out, ["k"]) == 3
+        v2 = spark.createDataFrame(
+            pd.DataFrame({"k": [2, 4], "v": ["B", "d"]})
+        )
+        assert upsert_parquet(spark, v2, out, ["k"]) == 4
+        got = {
+            r.k: r.v for r in spark.read.parquet(out).collect()
+        }
+        assert got == {1: "a", 2: "B", 3: "c", 4: "d"}  # 2 updated, 4 inserted
+    finally:
+        shutil.rmtree(out.rsplit("/", 1)[0], ignore_errors=True)
+
+
+def test_csv_and_detail_sinks(spark, smoke_dir):
+    base = tempfile.mkdtemp(prefix="bpp_sink_")
+    try:
+        df = spark.createDataFrame(
+            pd.DataFrame({
+                "image_id": ["i1", "i2"], "fips": ["17000", "17001"],
+                "area_acres": [1.5, 2.5], "extra": [0, 1],
+            })
+        )
+        write_csv(df, f"{base}/csv")
+        back = spark.read.option("header", True).csv(f"{base}/csv")
+        assert back.count() == 2
+        assert "extra" not in back.columns  # stable projection
+        append_detail(df, f"{base}/detail")
+        append_detail(df, f"{base}/detail")
+        assert spark.read.parquet(f"{base}/detail").count() == 4
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_forest_weighted_aggs(spark, smoke_dir):
+    fp = with_footprint(load_images(spark, smoke_dir).select("image_id")).limit(30)
+    plots = spark.read.parquet(f"{smoke_dir}/plots.parquet").withColumn(
+        "forest_type", (F.col("plot_cn") % 4).cast("int")
+    ).withColumn("age", F.col("attr_2")).withColumn(
+        "prob", F.col("attr_3")
+    )
+    knn = knn_join(fp, plots, k=10)
+    kpdf = knn.toPandas().merge(plots.toPandas(), on="plot_cn")
+    kpdf["w"] = 1.0 / (kpdf.distance + 0.01)
+
+    mode = weighted_mode(knn, plots, "forest_type").toPandas().set_index("image_id")
+    age = weighted_stand_age(knn, plots, "age").toPandas().set_index("image_id")
+    prob = harvest_probability(knn, plots, "prob").toPandas().set_index("image_id")
+    for img, grp in kpdf.groupby("image_id"):
+        by_type = grp.groupby("forest_type").w.sum()
+        best = by_type[by_type == by_type.max()].index.min()
+        assert mode.loc[img, "dominant_type"] == best
+        assert abs(age.loc[img, "stand_age"] - (grp.w * grp.age).sum() / grp.w.sum()) < 1e-5
+        expect = min(0.95, (grp.w * grp.prob).sum() / grp.w.sum() + 0.1)
+        assert abs(prob.loc[img, "harvest_prob"] - expect) < 1e-5
