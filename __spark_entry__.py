@@ -15,36 +15,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: point-in-polygon county assignment of image centroids
-    over the deterministic sf0.001 image+caption fixture (BASELINE.json
-    input_hint shape), returning per-county image counts + phash distincts.
-
-    cell-index (native Morton columns) -> broadcast cover join -> Arrow-UDF
-    ray-cast refine -> groupBy.
+    """Flagship: the full county workflow DAG on the deterministic sf0.001
+    image+caption fixture (BASELINE.json input_hint shape) — footprint
+    decode -> Morton cell index (native columns) -> fused county+tile
+    assignment (broadcast cover join, rectilinear-piece refine) -> binary
+    decode partials (Arrow) -> kNN distance-weighted plot attributes ->
+    vegetation indices + biomass math -> per-county summary.
     """
-    import pandas as pd
     from pyspark.sql import functions as F
 
     from biomass_processing_pipeline_spark import synth
-    from biomass_processing_pipeline_spark.operators.pip import (
-        assign_points_to_polygons,
-    )
-    from biomass_processing_pipeline_spark.sources.images import (
-        load_images,
-        with_footprint,
-    )
+    from biomass_processing_pipeline_spark.workflow import biomass_result_table
 
     d = synth.ensure_fixtures(spark, "sf0.001")
-    images = load_images(spark, d)
-    fp = with_footprint(images.select("image_id"))
-    counties = pd.read_parquet(f"{d}/counties.parquet")
-    assigned = assign_points_to_polygons(spark, fp, counties, "fips")
+    res = biomass_result_table(spark, d, k_neighbors=10)
     return (
-        assigned.join(images, "image_id")
-        .groupBy("fips")
+        res.groupBy("fips")
         .agg(
             F.count("*").alias("n_images"),
-            F.countDistinct("phash").alias("n_distinct_phash"),
+            F.round(F.sum("standing_biomass_tons"), 3).alias("total_standing_tons"),
+            F.round(F.avg("confidence_score"), 3).alias("avg_confidence"),
+            F.round(F.avg("ndvi_mean"), 6).alias("avg_ndvi"),
+            F.min(F.col("phash_ok").cast("int")).alias("all_decodes_ok"),
         )
         .orderBy("fips")
     )

@@ -1,0 +1,128 @@
+"""The full county-workflow DAG (SURVEY.md §3.1) composed from the
+operator library — the engine's flagship end-to-end run.
+
+Reference lifecycle (``optimized_county_processor_v3`` +
+``comprehensive_biomass_processor_v3``): setup (county polygons, CDL/FIA
+indices) -> per-parcel landcover zonal agg -> vegetation indices -> forest
+kNN + distance-weighted biomass -> crop intersection + allocation math ->
+result row assembly -> checkpointed batched writes.
+
+Spark shape: ONE lazy DataFrame DAG per stage family; the "setup phase"
+is broadcast exchange; the batch loop is partitioning; checkpoints are the
+lineage layer. Output: a per-image result table mirroring the reference's
+``parcel_biomass_analysis`` (~26 cols, database_manager_v3.py:664-712)
+shrunk to the image data model, written partitioned by cell prefix with
+per-partition lineage.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biomass_processing_pipeline_spark import functions as BF
+from biomass_processing_pipeline_spark import synth
+from biomass_processing_pipeline_spark.operators.knn import (
+    distance_weighted_agg, knn_join,
+)
+from biomass_processing_pipeline_spark.operators.pipeline import (
+    build_dictionaries, county_tile_assign,
+)
+from biomass_processing_pipeline_spark.operators.zonal import (
+    decode_partials, shannon_index, zonal_band_stats, zonal_class_histogram,
+)
+from biomass_processing_pipeline_spark.plans.lineage import run_resumable
+from biomass_processing_pipeline_spark.plans.partitioning import with_cell_prefix
+from biomass_processing_pipeline_spark.sources.images import (
+    load_images, with_footprint,
+)
+
+
+def biomass_result_table(spark: SparkSession, fixture_dir: str,
+                         k_neighbors: int = 50) -> DataFrame:
+    """-> per-image result rows: county + tile assignment, band stats,
+    NDVI, distance-weighted plot attributes, confidence — the engine's
+    analogue of the reference's comprehensive result dict
+    (comprehensive_biomass_processor_v3.py:399-430)."""
+    counties = pd.read_parquet(f"{fixture_dir}/counties.parquet")
+    tiles = pd.read_parquet(f"{fixture_dir}/tiles.parquet")
+    plots = spark.read.parquet(f"{fixture_dir}/plots.parquet")
+    images = load_images(spark, fixture_dir)
+
+    fp = with_footprint(images.select("image_id"))
+    dicts = build_dictionaries(spark, counties)
+    assigned = county_tile_assign(spark, fp, counties, tiles, dicts=dicts)
+
+    partials = decode_partials(images)
+    per_image = partials.select(
+        "image_id", "phash_ok", "px_count",
+        (F.col("sum_r") / F.col("px_count")).alias("mean_r"),
+        (F.col("sum_g") / F.col("px_count")).alias("mean_g"),
+        (F.col("sum_nir") / F.col("px_count")).alias("mean_nir"),
+        (F.col("ndvi_sum") / F.col("ndvi_count")).alias("ndvi_mean"),
+    )
+
+    knn = knn_join(fp, plots, k=k_neighbors)
+    wagg = distance_weighted_agg(knn, plots, ["attr_1", "attr_2", "attr_3"])
+
+    veg = per_image.select(
+        "image_id", "phash_ok", "px_count", "ndvi_mean",
+        F.round(BF.evi(F.col("mean_nir"), F.col("mean_r"),
+                       F.col("mean_g")), 6).alias("evi"),
+        F.round(BF.savi(F.col("mean_nir"), F.col("mean_r")), 6).alias("savi"),
+        F.round(BF.ndwi(F.col("mean_g"), F.col("mean_nir")), 6).alias("ndwi"),
+        "mean_r", "mean_g", "mean_nir",
+    )
+
+    out = (
+        assigned.join(veg, "image_id")
+        .join(wagg, "image_id")
+        .withColumn("biomass_mult", BF.ndvi_biomass_multiplier(F.col("ndvi_mean")))
+        .withColumn(
+            "standing_biomass_tons",
+            F.round(F.col("w_attr_1") * F.col("biomass_mult"), 4),
+        )
+        .withColumn(
+            "harvestable_tons",
+            F.round(F.col("w_attr_2") * F.col("biomass_mult") * 0.8, 4),
+        )
+        .withColumn(
+            "confidence_score",
+            BF.confidence_score(
+                F.lit(3), F.lit(100.0) * F.col("phash_ok").cast("double"),
+                F.col("ndvi_mean"),
+            ),
+        )
+    )
+    return out
+
+
+def run_county_workflow(spark: SparkSession, tier: str, out_dir: str,
+                        prefix_level: int = 5) -> dict:
+    """End-to-end resumable run: results partitioned by cell prefix +
+    lineage; re-invocation after a crash processes only missing buckets."""
+    d = synth.ensure_fixtures(spark, tier)
+    result = biomass_result_table(spark, d)
+    fp = with_footprint(
+        load_images(spark, d).select("image_id")
+    )
+    bucketed = (
+        result.join(fp.select("image_id", "cell_id"), "image_id")
+        .transform(lambda df: with_cell_prefix(df, prefix_level=prefix_level))
+        .withColumnRenamed("cell_prefix", "bucket")
+        .drop("cell_id")
+    )
+    return run_resumable(bucketed, out_dir)
+
+
+def county_summary(spark: SparkSession, out_dir: str) -> DataFrame:
+    """A13 run summary over the written result table."""
+    res = spark.read.parquet(f"{out_dir}/data")
+    return res.groupBy("fips").agg(
+        F.count("*").alias("n_images"),
+        F.round(F.sum("standing_biomass_tons"), 3).alias("total_standing_tons"),
+        F.round(F.avg("confidence_score"), 3).alias("avg_confidence"),
+        F.round(F.avg("ndvi_mean"), 6).alias("avg_ndvi"),
+        F.min(F.col("phash_ok").cast("int")).alias("all_decodes_ok"),
+    )

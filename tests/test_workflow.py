@@ -1,0 +1,40 @@
+import shutil
+import tempfile
+
+from biomass_processing_pipeline_spark.plans.lineage import pending
+from biomass_processing_pipeline_spark.workflow import (
+    biomass_result_table,
+    county_summary,
+    run_county_workflow,
+)
+
+
+def test_full_workflow_end_to_end(spark, smoke_dir):
+    out = tempfile.mkdtemp(prefix="bpp_wf_")
+    try:
+        r = run_county_workflow(spark, "sf0.001", out)
+        assert r["buckets"] > 0
+        res = spark.read.parquet(f"{out}/data")
+        assert res.count() == 2000  # every image produced a result row
+        cols = set(res.columns)
+        assert {"image_id", "fips", "tile_code", "ndvi_mean",
+                "standing_biomass_tons", "harvestable_tons",
+                "confidence_score", "bucket"} <= cols
+        # re-run: resumable no-op
+        r2 = run_county_workflow(spark, "sf0.001", out)
+        assert r2["buckets"] == 0
+        summary = county_summary(spark, out).toPandas()
+        assert len(summary) == 8
+        assert (summary.all_decodes_ok == 1).all()
+        assert (summary.avg_confidence > 0).all()
+        assert summary.n_images.sum() == 2000
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_result_table_sane_values(spark, smoke_dir):
+    res = biomass_result_table(spark, smoke_dir, k_neighbors=10).limit(200).toPandas()
+    assert ((res.ndvi_mean >= -1) & (res.ndvi_mean <= 1)).all()
+    assert (res.standing_biomass_tons >= 0).all()
+    assert ((res.confidence_score >= 0) & (res.confidence_score <= 1)).all()
+    assert res.phash_ok.all()
