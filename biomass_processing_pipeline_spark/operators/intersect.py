@@ -63,48 +63,33 @@ def intersection_join(
     class_polys: pd.DataFrame,
     level: int = cells.DEFAULT_LEVEL,
     min_acres: float = 0.01,
+    method: str = "auto",
 ) -> DataFrame:
     """-> (parcel_id, fips, class_code, area_acres, parcel_acres, pct_of_parcel)
 
     Exact intersection areas; rows below ``min_acres`` dropped (F4); urban
     codes dropped (F1).
+
+    method:
+      - "auto"  : native piecewise path when BOTH polygon sets are
+                  rectilinear, else the Arrow clip UDF;
+      - "native": rectilinear pieces partition each polygon, so
+                  area(A∩B) = Σ over piece pairs of rect∩rect — pure
+                  column math (greatest/least + the approx-acre formula),
+                  whole-stage codegen, no Python;
+      - "udf"   : Sutherland–Hodgman clip per candidate pair in an Arrow
+                  UDF (general polygons; clip side must be convex).
     """
     from biomass_processing_pipeline_spark.operators.pip import polygon_cover_df
 
-    p_cover = polygon_cover_df(spark, parcels, "parcel_id", level)
-    c_cover = polygon_cover_df(spark, class_polys, "class_poly_id", level)
-    pairs = (
-        p_cover.join(c_cover, "cell_id")
-        .select("parcel_id", "class_poly_id")
-        .distinct()
+    all_rectilinear = all(
+        G.is_rectilinear(*G.parse_wkt_polygon(w))
+        for w in list(parcels["geom_wkt"]) + list(class_polys["geom_wkt"])
     )
+    if method == "auto":
+        method = "native" if all_rectilinear else "udf"
 
-    prepared_p = spark.sparkContext.broadcast({
-        t.parcel_id: G.parse_wkt_polygon(t.geom_wkt)
-        for t in parcels.itertuples(index=False)
-    })
-    prepared_c = spark.sparkContext.broadcast({
-        int(t.class_poly_id): (G.parse_wkt_polygon(t.geom_wkt), int(t.class_code))
-        for t in class_polys.itertuples(index=False)
-    })
-
-    @pandas_udf("double")
-    def _area(parcel_id: pd.Series, class_poly_id: pd.Series) -> pd.Series:
-        out = np.zeros(len(parcel_id))
-        ccw_cache: dict = {}
-        for i, (pid, cid) in enumerate(zip(parcel_id, class_poly_id)):
-            (sx, sy), _code = prepared_c.value[int(cid)]
-            if pid not in ccw_cache:
-                ccw_cache[pid] = G.ensure_ccw(*prepared_p.value[pid])
-            cxx, cyy = ccw_cache[pid]
-            # parcel rectangle is the convex clip side
-            ix, iy = G.clip_polygon_convex(sx, sy, cxx, cyy)
-            out[i] = G.approx_area_acres(ix, iy) if len(ix) >= 3 else 0.0
-        return pd.Series(out)
-
-    meta = spark.createDataFrame(
-        class_polys[["class_poly_id", "class_code"]]
-    )
+    meta = spark.createDataFrame(class_polys[["class_poly_id", "class_code"]])
     pmeta = spark.createDataFrame(
         pd.DataFrame({
             "parcel_id": parcels["parcel_id"],
@@ -112,9 +97,75 @@ def intersection_join(
             "parcel_acres": parcels["acres"],
         })
     )
-    out = (
-        pairs.withColumn("area_acres", _area("parcel_id", "class_poly_id"))
-        .where(F.col("area_acres") >= F.lit(min_acres))
+
+    if method == "native":
+        p_cover = polygon_cover_df(spark, parcels, "parcel_id", level,
+                                   with_bbox=True)
+        c_cover = polygon_cover_df(spark, class_polys, "class_poly_id", level,
+                                   with_bbox=True).select(
+            "cell_id", "class_poly_id",
+            F.col("piece").alias("c_piece"),
+            F.col("p_minx").alias("c_minx"), F.col("p_miny").alias("c_miny"),
+            F.col("p_maxx").alias("c_maxx"), F.col("p_maxy").alias("c_maxy"),
+        )
+        piece_pairs = (
+            p_cover.join(c_cover, "cell_id")
+            .select("parcel_id", "piece", "p_minx", "p_miny", "p_maxx", "p_maxy",
+                    "class_poly_id", "c_piece", "c_minx", "c_miny", "c_maxx",
+                    "c_maxy")
+            .dropDuplicates(["parcel_id", "piece", "class_poly_id", "c_piece"])
+        )
+        ix0 = F.greatest("p_minx", "c_minx")
+        iy0 = F.greatest("p_miny", "c_miny")
+        ix1 = F.least("p_maxx", "c_maxx")
+        iy1 = F.least("p_maxy", "c_maxy")
+        deg2 = (ix1 - ix0) * (iy1 - iy0)
+        mean_lat = (iy0 + iy1) / 2.0
+        acres = (
+            deg2 * F.lit(G.DEG_M * G.DEG_M)
+            * F.cos(F.radians(mean_lat)) * F.lit(G.ACRES_PER_M2)
+        )
+        piecewise = piece_pairs.where((ix1 > ix0) & (iy1 > iy0)).select(
+            "parcel_id", "class_poly_id", acres.alias("piece_acres")
+        )
+        areas = piecewise.groupBy("parcel_id", "class_poly_id").agg(
+            F.sum("piece_acres").alias("area_acres")
+        )
+    else:
+        p_cover = polygon_cover_df(spark, parcels, "parcel_id", level)
+        c_cover = polygon_cover_df(spark, class_polys, "class_poly_id", level)
+        pairs = (
+            p_cover.join(c_cover, "cell_id")
+            .select("parcel_id", "class_poly_id")
+            .distinct()
+        )
+        prepared_p = spark.sparkContext.broadcast({
+            t.parcel_id: G.parse_wkt_polygon(t.geom_wkt)
+            for t in parcels.itertuples(index=False)
+        })
+        prepared_c = spark.sparkContext.broadcast({
+            int(t.class_poly_id): G.parse_wkt_polygon(t.geom_wkt)
+            for t in class_polys.itertuples(index=False)
+        })
+
+        @pandas_udf("double")
+        def _area(parcel_id: pd.Series, class_poly_id: pd.Series) -> pd.Series:
+            out = np.zeros(len(parcel_id))
+            ccw_cache: dict = {}
+            for i, (pid, cid) in enumerate(zip(parcel_id, class_poly_id)):
+                sx, sy = prepared_c.value[int(cid)]
+                if pid not in ccw_cache:
+                    ccw_cache[pid] = G.ensure_ccw(*prepared_p.value[pid])
+                cxx, cyy = ccw_cache[pid]
+                # parcel rectangle is the convex clip side
+                ix, iy = G.clip_polygon_convex(sx, sy, cxx, cyy)
+                out[i] = G.approx_area_acres(ix, iy) if len(ix) >= 3 else 0.0
+            return pd.Series(out)
+
+        areas = pairs.withColumn("area_acres", _area("parcel_id", "class_poly_id"))
+
+    return (
+        areas.where(F.col("area_acres") >= F.lit(min_acres))
         .join(F.broadcast(meta), "class_poly_id")
         .where(~F.col("class_code").isin(list(URBAN_CODES)))
         .join(F.broadcast(pmeta), "parcel_id")
@@ -122,7 +173,6 @@ def intersection_join(
             "pct_of_parcel", F.col("area_acres") * 100.0 / F.col("parcel_acres")
         )
     )
-    return out
 
 
 def crop_rollup(intersections: DataFrame, coeffs: DataFrame) -> DataFrame:

@@ -94,7 +94,7 @@ def knn_join(
     points: DataFrame,
     targets: DataFrame,
     k: int = 50,
-    level: int = cells.DEFAULT_LEVEL,
+    level: int | None = None,
     point_key: str = "image_id",
     target_key: str = "plot_cn",
     init_ring: int | None = None,
@@ -115,12 +115,28 @@ def knn_join(
     2. **fallback**: the (few) unprovable points get an exact brute-force
        window over a cross join with all targets.
     """
-    targets = targets.select(
-        F.col(target_key),
-        F.col("lon").alias("t_lon"),
-        F.col("lat").alias("t_lat"),
-        cells.cell_id_col(F.col("lon"), F.col("lat"), level).alias("t_cell"),
-    )
+    stats_row = targets.agg(
+        F.count("*").alias("n"),
+        F.min("lon").alias("x0"), F.max("lon").alias("x1"),
+        F.min("lat").alias("y0"), F.max("lat").alias("y1"),
+    ).collect()[0]
+    n_targets = max(int(stats_row.n), 1)
+    # density-based sizing: a guaranteed disc expected to hold ~1.5k
+    # targets, so phase 1 completes almost every point (the reference sizes
+    # its search radius the same way — a fixed 0.1 deg default tuned to FIA
+    # plot density, processing_config_v3.py:23)
+    area = max((stats_row.x1 - stats_row.x0) * (stats_row.y1 - stats_row.y0), 1e-9)
+    density = max(n_targets / area, 1e-9)
+    r_needed = float(np.sqrt(1.5 * k / (np.pi * density)))
+    if level is None:
+        # auto level: cell height ~ r_needed/3 keeps the ring-rounding
+        # overshoot <= (4/3)^2 in candidate count while the ring table
+        # (targets x (2r+1)^2) stays broadcastable
+        level = int(np.clip(np.ceil(np.log2(540.0 / r_needed)), 4, 20))
+        while n_targets * (2 * max(1, int(np.ceil(
+                r_needed / (180.0 / (1 << level))))) + 1) ** 2 > 2_000_000 \
+                and level > 4:
+            level -= 1
     # coverage guarantee must use the SMALLER cell dimension: the grid is
     # 2^L x 2^L over a 360x180 extent, so cells are 2:1 rectangles and a
     # ring of Chebyshev radius r only guarantees the disc of radius
@@ -129,26 +145,22 @@ def knn_join(
         (cells.LON_MAX - cells.LON_MIN) / (1 << level),
         (cells.LAT_MAX - cells.LAT_MIN) / (1 << level),
     )
-
-    stats_row = targets.agg(
-        F.count("*").alias("n"),
-        F.min("t_lon").alias("x0"), F.max("t_lon").alias("x1"),
-        F.min("t_lat").alias("y0"), F.max("t_lat").alias("y1"),
-    ).collect()[0]
-    n_targets = max(int(stats_row.n), 1)
     if init_ring is None:
-        # density-based sizing: ring whose guaranteed disc is expected to
-        # hold ~1.5k targets, so phase 1 completes almost every point (the
-        # reference sizes its search radius the same way — a fixed 0.1 deg
-        # default tuned to FIA plot density, processing_config_v3.py:23)
-        area = max((stats_row.x1 - stats_row.x0) * (stats_row.y1 - stats_row.y0), 1e-9)
-        density = max(n_targets / area, 1e-9)
-        r_needed = float(np.sqrt(1.5 * k / (np.pi * density)))
         init_ring = max(1, int(np.ceil(r_needed / cell_w_deg)))
     ring_k = init_ring
     guard = ring_k * cell_w_deg
 
-    pts = points.select(point_key, "lon", "lat", "cell_id")
+    targets = targets.select(
+        F.col(target_key),
+        F.col("lon").alias("t_lon"),
+        F.col("lat").alias("t_lat"),
+        cells.cell_id_col(F.col("lon"), F.col("lat"), level).alias("t_cell"),
+    )
+    # point cells are derived HERE at the operator's own level (the
+    # caller's cell_id column, if any, may be at a different level)
+    pts = points.select(point_key, "lon", "lat").withColumn(
+        "p_cell", cells.cell_id_col(F.col("lon"), F.col("lat"), level)
+    )
     ring = _ring_udf(level, ring_k)
     # ring expansion on the SMALL side: point's ring contains the target's
     # cell iff the target's ring contains the point's cell (Chebyshev
@@ -160,7 +172,7 @@ def knn_join(
     if broadcast_side:
         t_ring = F.broadcast(t_ring)
     cand = (
-        pts.join(t_ring, F.col("cell_id") == F.col("ring_cell"))
+        pts.join(t_ring, F.col("p_cell") == F.col("ring_cell"))
         .withColumn(
             "distance",
             distance_deg(F.col("lon"), F.col("lat"), F.col("t_lon"), F.col("t_lat")),

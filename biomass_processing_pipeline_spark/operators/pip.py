@@ -62,20 +62,22 @@ def polygon_cover_df(
             if G.is_rectilinear(xs, ys):
                 # exact rectangle decomposition: PIP becomes a pure bbox
                 # test per piece — no Python refine for this polygon at all
-                for minx, miny, maxx, maxy in G.decompose_rectilinear(xs, ys):
+                for pi, (minx, miny, maxx, maxy) in enumerate(
+                    G.decompose_rectilinear(xs, ys)
+                ):
                     for c in cells.cover_bbox_np(minx, miny, maxx, maxy, level):
-                        rows.append((int(c), key, minx, miny, maxx, maxy, True))
+                        rows.append((int(c), key, pi, minx, miny, maxx, maxy, True))
             else:
                 for c in cells.cover_bbox_np(t.minx, t.miny, t.maxx, t.maxy, level):
                     rows.append(
-                        (int(c), key, t.minx, t.miny, t.maxx, t.maxy, False)
+                        (int(c), key, 0, t.minx, t.miny, t.maxx, t.maxy, False)
                     )
         else:
             cover = cells.cover_bbox_np(t.minx, t.miny, t.maxx, t.maxy, level)
             rows.extend((int(c), key) for c in cover)
     cols = ["cell_id", key_col]
     if with_bbox:
-        cols += ["p_minx", "p_miny", "p_maxx", "p_maxy", "is_rect"]
+        cols += ["piece", "p_minx", "p_miny", "p_maxx", "p_maxy", "is_rect"]
     return spark.createDataFrame(
         pd.DataFrame(rows, columns=cols).drop_duplicates()
     )
