@@ -953,6 +953,26 @@ def q_image_features(spark, sf_dir):
     )
 
 
+def q_tile_discovery(spark, sf_dir):
+    """S6 source discovery: distinct name-tiles + first available date per
+    tile parsed from image ids (blob_manager_v3.py:1053-1118 semantics:
+    list blobs -> distinct tile ids -> min date per tile)."""
+    from biomass_processing_pipeline_spark.sources.images import load_images
+
+    d = _fixture(spark, sf_dir)
+    ids = load_images(spark, d).select("image_id")
+    parsed = ids.select(
+        F.regexp_extract("image_id", r"^(T\d\d)_", 1).alias("tile_code"),
+        F.regexp_extract("image_id", r"_(\d{8})_", 1).alias("date"),
+        F.regexp_extract("image_id", r"_(B\d\d)_", 1).alias("band"),
+    )
+    return parsed.groupBy("tile_code").agg(
+        F.min("date").alias("first_date"),
+        F.countDistinct("band").alias("n_bands"),
+        F.count("*").alias("n_images"),
+    )
+
+
 def q_sim_ivf(spark, sf_dir):
     """IVF approximate nearest neighbors (centroid-probe pruning)."""
     from biomass_processing_pipeline_spark.operators.similarity import (
@@ -1013,6 +1033,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_lsh": q_sim_lsh,
     "sim_ivf": q_sim_ivf,
     "image_features": q_image_features,
+    "tile_discovery": q_tile_discovery,
 }
 
 ORACLES: dict[str, str] = {
