@@ -201,12 +201,11 @@ def knn_join(
     # cleaner; unlike persist() this cannot leak across repeated calls)
     topk = topk.localCheckpoint(eager=False)
 
-    complete_keys = (
-        topk.where((F.col("_n") >= k) & (F.col("_dmax") <= guard))
-        .select(point_key)
-        .distinct()
-    )
-    done = topk.join(F.broadcast(complete_keys), point_key, "left_semi").select(
+    # completeness is ROW-LOCAL (_n/_dmax are per-point constants carried on
+    # every row) -> done needs no join at all
+    complete_cond = (F.col("_n") >= k) & (F.col("_dmax") <= guard)
+    complete_keys = topk.where(complete_cond).select(point_key).distinct()
+    done = topk.where(complete_cond).select(
         point_key, target_key, "distance", "rank"
     )
     # exact fallback for the unprovable stragglers: brute-force window over
