@@ -151,10 +151,16 @@ def neighbors_np(cell: np.ndarray, level: int, k: int = 1) -> np.ndarray:
 def cover_bbox_np(
     minx: float, miny: float, maxx: float, maxy: float, level: int
 ) -> np.ndarray:
-    """All cell ids whose square intersects the bbox (polygon covering)."""
+    """All cell ids whose square intersects the CLOSED bbox.
+
+    The max edges are inclusive: a point exactly on ``maxx`` hashes into
+    the next cell column, and candidate generation must still find it
+    (boundary points are resolved by the refine + tie rule, never by the
+    coarse cover silently dropping them).
+    """
     n = 1 << level
     ix0, iy0 = ixy_np(np.array([minx]), np.array([miny]), level)
-    ix1, iy1 = ixy_np(np.array([maxx - 1e-12]), np.array([maxy - 1e-12]), level)
+    ix1, iy1 = ixy_np(np.array([maxx]), np.array([maxy]), level)
     xs = np.arange(ix0[0], min(ix1[0], n - 1) + 1, dtype=np.int64)
     ys = np.arange(iy0[0], min(iy1[0], n - 1) + 1, dtype=np.int64)
     gx, gy = np.meshgrid(xs, ys, indexing="ij")

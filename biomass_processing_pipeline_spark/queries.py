@@ -492,6 +492,56 @@ SQL_WEIGHTED_KNN = f"""
 """
 
 
+def _county_pieces():
+    """Deterministic 8x4 county tiling (the sf0.01 fixture dictionary) as
+    rectilinear pieces — pure function, shared by the Spark query and the
+    SQL oracle."""
+    from biomass_processing_pipeline_spark import geometry as G
+    from biomass_processing_pipeline_spark.synth import county_polygons
+
+    counties = county_polygons(8, 4)
+    pieces = []
+    for t in counties.itertuples(index=False):
+        xs, ys = G.parse_wkt_polygon(t.geom_wkt)
+        for minx, miny, maxx, maxy in G.decompose_rectilinear(xs, ys):
+            pieces.append((t.fips, minx, miny, maxx, maxy))
+    return counties, pieces
+
+
+def q_pip_points(spark, sf_dir):
+    """J7 point-in-polygon THROUGH THE REAL OPERATOR (cell cover join +
+    piece/ray-cast refine + min-fips tie rule) over derived points against
+    the county tiling, oracled by an independent SQL piece-containment
+    join — the flagship operator's own DuckDB oracle."""
+    from biomass_processing_pipeline_spark.operators.pip import (
+        assign_points_to_polygons,
+    )
+
+    counties, _ = _county_pieces()
+    pts = _points(spark, sf_dir).withColumn(
+        "cell_id", cells.cell_id_col(F.col("lon"), F.col("lat"), 10)
+    )
+    return assign_points_to_polygons(
+        spark, pts, counties, "fips", point_key="event_id"
+    )
+
+
+def _sql_pip_points() -> str:
+    _, pieces = _county_pieces()
+    values = ",\n    ".join(
+        f"('{f}', {a!r}, {b!r}, {c!r}, {d!r})" for f, a, b, c, d in pieces
+    )
+    return f"""
+      WITH pts AS ({_POINTS_SQL}),
+      pieces(fips, minx, miny, maxx, maxy) AS (VALUES
+        {values})
+      SELECT event_id, MIN(fips) AS fips
+      FROM pts JOIN pieces
+        ON lon >= minx AND lon <= maxx AND lat >= miny AND lat <= maxy
+      GROUP BY event_id
+    """
+
+
 def q_weighted_mode(spark, sf_dir):
     """A6 weighted mode (dominant forest type, forest_analyzer_v3.py:644-680):
     per kNN point, the target category with max summed 1/(d+0.01) weight."""
@@ -1017,6 +1067,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_knn_agg": q_weighted_knn_agg,
     "scalar_geo": q_scalar_geo,
     "veg_indices": q_veg_indices,
+    "pip_points": q_pip_points,
     "weighted_mode": q_weighted_mode,
     "percentiles": q_percentiles,
     "pivot_classes": q_pivot_classes,
@@ -1057,6 +1108,7 @@ ORACLES: dict[str, str] = {
     "weighted_knn_agg": SQL_WEIGHTED_KNN,
     "scalar_geo": SQL_SCALAR_GEO,
     "veg_indices": SQL_VEG_INDICES,
+    "pip_points": _sql_pip_points(),
     "weighted_mode": SQL_WEIGHTED_MODE,
     "percentiles": SQL_PERCENTILES,
     "pivot_classes": SQL_PIVOT,
