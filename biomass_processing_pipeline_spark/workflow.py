@@ -99,7 +99,7 @@ def biomass_result_table(spark: SparkSession, fixture_dir: str,
 
 
 def run_county_workflow(spark: SparkSession, tier: str, out_dir: str,
-                        prefix_level: int = 5) -> dict:
+                        prefix_level: int = 8) -> dict:
     """End-to-end resumable run: results partitioned by cell prefix +
     lineage; re-invocation after a crash processes only missing buckets."""
     d = synth.ensure_fixtures(spark, tier)
