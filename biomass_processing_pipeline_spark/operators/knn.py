@@ -224,6 +224,133 @@ def knn_join(
     return done.unionByName(fallback)
 
 
+def knn_weighted_agg_fused(
+    points: DataFrame,
+    targets: DataFrame,
+    attrs: list[str],
+    k: int = 50,
+    level: int | None = None,
+    point_key: str = "image_id",
+    target_key: str = "plot_cn",
+    eps: float = 0.01,
+) -> DataFrame:
+    """Fused kNN + distance-weighted aggregation: semantically identical to
+    ``distance_weighted_agg(knn_join(...), targets, attrs)`` but the
+    aggregation happens INSIDE the partition-local top-k pandas pass, so
+    the points x k intermediate (10M+ rows at bench scale) is never
+    materialized, checkpointed, or shuffled — output is one row per point,
+    produced map-side. Stragglers fall back through the exact path.
+    """
+    # ---- phase 1 setup: identical sizing logic to knn_join ----
+    stats_row = targets.agg(
+        F.count("*").alias("n"),
+        F.min("lon").alias("x0"), F.max("lon").alias("x1"),
+        F.min("lat").alias("y0"), F.max("lat").alias("y1"),
+    ).collect()[0]
+    n_targets = max(int(stats_row.n), 1)
+    area = max((stats_row.x1 - stats_row.x0) * (stats_row.y1 - stats_row.y0), 1e-9)
+    density = max(n_targets / area, 1e-9)
+    r_needed = float(np.sqrt(1.5 * k / (np.pi * density)))
+    if level is None:
+        level = int(np.clip(np.ceil(np.log2(540.0 / r_needed)), 4, 20))
+        while n_targets * (2 * max(1, int(np.ceil(
+                r_needed / (180.0 / (1 << level))))) + 1) ** 2 > 2_000_000 \
+                and level > 4:
+            level -= 1
+    cell_w_deg = min(
+        (cells.LON_MAX - cells.LON_MIN) / (1 << level),
+        (cells.LAT_MAX - cells.LAT_MIN) / (1 << level),
+    )
+    ring_k = max(1, int(np.ceil(r_needed / cell_w_deg)))
+    guard = ring_k * cell_w_deg
+
+    t_sel = targets.select(
+        F.col(target_key),
+        F.col("lon").alias("t_lon"), F.col("lat").alias("t_lat"),
+        cells.cell_id_col(F.col("lon"), F.col("lat"), level).alias("t_cell"),
+        *attrs,
+    )
+    pts = points.select(point_key, "lon", "lat").withColumn(
+        "p_cell", cells.cell_id_col(F.col("lon"), F.col("lat"), level)
+    )
+    ring = _ring_udf(level, ring_k)
+    t_ring = F.broadcast(
+        t_sel.withColumn("ring_cell", F.explode(ring(F.col("t_cell"))))
+    )
+    cand = (
+        pts.join(t_ring, F.col("p_cell") == F.col("ring_cell"))
+        .withColumn("distance", distance_deg(
+            F.col("lon"), F.col("lat"), F.col("t_lon"), F.col("t_lat")))
+        .where(F.col("distance") <= F.lit(guard))
+        .select(point_key, target_key, "distance", *attrs)
+    )
+
+    fields = {f.name: f for f in cand.schema.fields}
+    schema = T.StructType(
+        [fields[point_key],
+         T.StructField("sum_w", T.DoubleType()),
+         T.StructField("n_neighbors", T.LongType()),
+         T.StructField("complete", T.BooleanType())]
+        + [T.StructField(f"w_{a}", T.DoubleType()) for a in attrs]
+    )
+
+    def _agg(batches):
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values([point_key, "distance", target_key],
+                              kind="mergesort")
+        grp = pdf.groupby(point_key, sort=False)
+        pdf["_rank"] = grp.cumcount() + 1
+        total = grp.size()  # candidate count per point (index = point_key)
+        take = pdf[pdf["_rank"] <= k].copy()
+        take["_w"] = 1.0 / (take["distance"] + eps)
+        g2 = take.groupby(point_key, sort=False)
+        out = pd.DataFrame({
+            "sum_w": g2["_w"].sum(),
+            "n_neighbors": g2.size(),
+            # complete: >=k candidates found AND k-th distance provably
+            # inside the guaranteed ring disc
+            "complete": (total >= k) & (g2["distance"].max() <= guard),
+        })
+        for a in attrs:
+            out[f"w_{a}"] = (take["_w"] * take[a]).groupby(
+                take[point_key], sort=False
+            ).sum() / out["sum_w"]
+        out = out.reset_index()
+        yield out[[point_key, "sum_w", "n_neighbors", "complete"]
+                  + [f"w_{a}" for a in attrs]]
+
+    agg = cand.mapInPandas(_agg, schema=schema).localCheckpoint(eager=False)
+    done = agg.where(F.col("complete")).drop("complete")
+    complete_keys = agg.where(F.col("complete")).select(point_key)
+    stragglers = pts.join(F.broadcast(complete_keys), point_key, "left_anti")
+    # exact fallback: brute-force kNN + relational weighted agg
+    fb_knn = _bruteforce_topk(stragglers, t_sel, k, point_key, target_key)
+    fb = distance_weighted_agg(
+        fb_knn, targets, attrs, point_key=point_key, target_key=target_key,
+        eps=eps,
+    )
+    return done.unionByName(fb.select(*done.columns))
+
+
+def _bruteforce_topk(pts: DataFrame, t_sel: DataFrame, k: int,
+                     point_key: str, target_key: str) -> DataFrame:
+    cand = pts.crossJoin(t_sel.select(target_key, "t_lon", "t_lat")).withColumn(
+        "distance",
+        distance_deg(F.col("lon"), F.col("lat"), F.col("t_lon"), F.col("t_lat")),
+    )
+    w = Window.partitionBy(point_key).orderBy("distance", target_key)
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(point_key, target_key, "distance", "rank")
+    )
+
+
 def distance_weighted_agg(
     knn: DataFrame,
     targets: DataFrame,

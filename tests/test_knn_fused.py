@@ -1,0 +1,26 @@
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from biomass_processing_pipeline_spark.operators.knn import (
+    distance_weighted_agg,
+    knn_join,
+    knn_weighted_agg_fused,
+)
+from biomass_processing_pipeline_spark.sources.images import load_images, with_footprint
+
+
+def test_fused_equals_unfused(spark, smoke_dir):
+    fp = with_footprint(load_images(spark, smoke_dir).select("image_id")).limit(150)
+    plots = spark.read.parquet(f"{smoke_dir}/plots.parquet")
+    unfused = distance_weighted_agg(
+        knn_join(fp, plots, k=10), plots, ["attr_1", "attr_2"]
+    ).toPandas().set_index("image_id").sort_index()
+    fused = knn_weighted_agg_fused(
+        fp, plots, ["attr_1", "attr_2"], k=10
+    ).toPandas().set_index("image_id").sort_index()
+    assert len(fused) == len(unfused) == 150
+    assert (fused.n_neighbors == unfused.n_neighbors).all()
+    assert np.allclose(fused.sum_w, unfused.sum_w, rtol=1e-12)
+    assert np.allclose(fused.w_attr_1, unfused.w_attr_1, rtol=1e-12)
+    assert np.allclose(fused.w_attr_2, unfused.w_attr_2, rtol=1e-12)
