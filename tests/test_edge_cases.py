@@ -1,0 +1,47 @@
+import pandas as pd
+from pyspark.sql import functions as F
+
+from biomass_processing_pipeline_spark.operators.knn import (
+    knn_join,
+    knn_weighted_agg_fused,
+)
+from biomass_processing_pipeline_spark.operators.pip import (
+    assign_points_to_polygons,
+)
+from biomass_processing_pipeline_spark.sources.images import load_images, with_footprint
+
+
+def test_knn_empty_points(spark, smoke_dir):
+    plots = spark.read.parquet(f"{smoke_dir}/plots.parquet")
+    empty = with_footprint(
+        load_images(spark, smoke_dir).select("image_id")
+    ).where(F.lit(False))
+    assert knn_join(empty, plots, k=5).count() == 0
+    assert knn_weighted_agg_fused(empty, plots, ["attr_1"], k=5).count() == 0
+
+
+def test_knn_fewer_targets_than_k(spark, smoke_dir):
+    pts = with_footprint(
+        load_images(spark, smoke_dir).select("image_id")
+    ).limit(5)
+    plots = spark.read.parquet(f"{smoke_dir}/plots.parquet").limit(3)
+    out = knn_join(pts, plots, k=50).toPandas()
+    # every point gets all 3 available neighbors via the exact fallback
+    assert (out.groupby("image_id").size() == 3).all()
+    assert out["rank"].max() == 3
+
+
+def test_pip_points_outside_all_polygons(spark, smoke_dir):
+    import numpy as np
+
+    from biomass_processing_pipeline_spark import cells
+
+    counties = pd.read_parquet(f"{smoke_dir}/counties.parquet")
+    lon = np.array([0.0, 50.0])  # far outside the fixture extent
+    lat = np.array([0.0, 50.0])
+    pts = spark.createDataFrame(pd.DataFrame({
+        "pid": [1, 2], "lon": lon, "lat": lat,
+        "cell_id": cells.cell_id_np(lon, lat, cells.DEFAULT_LEVEL),
+    }))
+    out = assign_points_to_polygons(spark, pts, counties, "fips", point_key="pid")
+    assert out.count() == 0  # dropped, not misassigned
