@@ -162,6 +162,26 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     timed("topk", lambda: q_topk_per_group(spark, sf_dir).count())
     timed("wmean", lambda: q_weighted_mean(spark, sf_dir).count())
 
+    def _dedup():
+        from biomass_processing_pipeline_spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.3).count()
+
+    timed("minhash_dedup", _dedup)
+
+    def _sim():
+        from biomass_processing_pipeline_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return brute_force_topk(emb, emb.where(F.col("vec_id") % 10 == 0), k=5).count()
+
+    timed("sim_topk", _sim)
+
     spark.stop()
     total = round(sum(timings.values()), 3)
     return {

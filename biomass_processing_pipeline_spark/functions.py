@@ -93,6 +93,22 @@ def approx_area_acres_cols(deg2_area: Column, mean_lat: Column) -> Column:
     )
 
 
+def haversine_km(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Great-circle distance in km (native column math). The engine's
+    primary distance is degree-euclidean for reference parity
+    (ORDER BY distance_degrees); haversine is offered for metric-correct
+    variants (the reference reaches for pyproj the same way,
+    coordinate_utils_v3.py:54-102)."""
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+        * F.pow(F.sin(dlon / 2), 2)
+    )
+    return 2.0 * 6371.0088 * F.asin(F.sqrt(a))
+
+
 # vegetation indices (vegetation_analyzer_v3.py:112-157) with
 # zero-denominator guards, as column math over band-mean columns
 def ndvi(nir: Column, red: Column) -> Column:

@@ -41,19 +41,33 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _fnv_matrix(mat: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a over the rows of a (n, k) uint8 matrix — one
+    column-sweep of uint64 vector ops instead of a per-byte Python loop
+    (same math as hash_bytes_np for identical byte strings)."""
+    with np.errstate(over="ignore"):
+        h = np.full(mat.shape[0], 1469598103934665603, dtype=np.uint64)
+        prime = np.uint64(1099511628211)
+        for col in range(mat.shape[1]):
+            h = (h ^ mat[:, col].astype(np.uint64)) * prime
+        return (h & np.uint64(_MERSENNE)).astype(np.int64)
+
+
 def _shingle_udf(k: int):
     @pandas_udf(T.ArrayType(T.LongType()))
     def shingles(text: pd.Series) -> pd.Series:
         out = []
         for t in text:
-            t = (t or "").lower()
-            if len(t) < k:
-                out.append([hash_bytes_np(np.array([t.encode()], dtype=object))[0]])
+            b = np.frombuffer((t or "").lower().encode(), dtype=np.uint8)
+            if len(b) < k:
+                out.append(
+                    [int(hash_bytes_np(np.array([bytes(b)], dtype=object))[0])]
+                )
                 continue
-            views = np.array(
-                [t[i : i + k].encode() for i in range(len(t) - k + 1)], dtype=object
-            )
-            out.append(np.unique(hash_bytes_np(views)).tolist())
+            # k-byte shingles via a strided window view (char==byte for
+            # ASCII corpora; shingling is defined over BYTES)
+            windows = np.lib.stride_tricks.sliding_window_view(b, k)
+            out.append(np.unique(_fnv_matrix(windows)).tolist())
         return pd.Series(out)
 
     return shingles
@@ -125,6 +139,8 @@ def minhash_lsh_pairs(
             )
         ).alias("bh"),
     ).select(id_col, "shingles", "bh.band_idx", "bh.band_hash")
+    # consumed as BOTH sides of the self-join -> compute signatures once
+    banded = banded.localCheckpoint(eager=False)
 
     left = banded.select(
         F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"),

@@ -99,9 +99,20 @@ def biomass_result_table(spark: SparkSession, fixture_dir: str,
 
 
 def run_county_workflow(spark: SparkSession, tier: str, out_dir: str,
-                        prefix_level: int = 8) -> dict:
+                        prefix_level: int = 8,
+                        target_rows_per_task: int = 10_000) -> dict:
     """End-to-end resumable run: results partitioned by cell prefix +
-    lineage; re-invocation after a crash processes only missing buckets."""
+    lineage; re-invocation after a crash processes only missing buckets.
+
+    Skew handling (north_rule): a sampled census finds hot cell prefixes
+    (the dense "urban" cells carry ~20% of all images); their rows get a
+    ``salt = pmod(hash(image_id), S)`` and the pre-write repartition is on
+    (bucket, salt), splitting each hot bucket across S tasks.
+    """
+    from biomass_processing_pipeline_spark.plans.partitioning import (
+        repartition_salted, skew_census, with_salt,
+    )
+
     d = synth.ensure_fixtures(spark, tier)
     result = biomass_result_table(spark, d)
     fp = with_footprint(
@@ -113,7 +124,14 @@ def run_county_workflow(spark: SparkSession, tier: str, out_dir: str,
         .withColumnRenamed("cell_prefix", "bucket")
         .drop("cell_id")
     )
-    return run_resumable(bucketed, out_dir)
+    census = skew_census(
+        fp.transform(lambda df: with_cell_prefix(df, prefix_level=prefix_level))
+        .withColumnRenamed("cell_prefix", "bucket"),
+        key_col="bucket", target_rows_per_task=target_rows_per_task,
+    )
+    salted = with_salt(bucketed, census, key_col="bucket", id_col="image_id")
+    balanced = repartition_salted(salted, key_col="bucket").drop("salt")
+    return run_resumable(balanced, out_dir)
 
 
 def county_summary(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -32,6 +32,23 @@ def test_full_workflow_end_to_end(spark, smoke_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_workflow_salting_triggers_on_skew(spark, smoke_dir):
+    """With a low per-task target the urban buckets must trip the census
+    and the salted write must still produce identical results."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="bpp_wf_salt_")
+    try:
+        r = run_county_workflow(
+            spark, "sf0.001", out, target_rows_per_task=150
+        )
+        assert r["buckets"] > 0
+        assert spark.read.parquet(f"{out}/data").count() == 2000
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_result_table_sane_values(spark, smoke_dir):
     res = biomass_result_table(spark, smoke_dir, k_neighbors=10).limit(200).toPandas()
     assert ((res.ndvi_mean >= -1) & (res.ndvi_mean <= 1)).all()
