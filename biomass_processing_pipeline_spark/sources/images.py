@@ -36,6 +36,12 @@ def _offset_udf(tx: pd.Series, ty: pd.Series, seq: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"lon": lon, "lat": lat})
 
 
+# The function IS deterministic, but flagging it so stops Catalyst from
+# duplicating the eval when a downstream join pushes an IsNotNull filter
+# back through it (observed: two ArrowEvalPython stages for one UDF).
+_offset_udf = _offset_udf.asNondeterministic()
+
+
 def with_footprint(images: DataFrame, level: int = cells.DEFAULT_LEVEL) -> DataFrame:
     """Add name-tile indices, centroid lon/lat, and Morton cell_id columns.
 
