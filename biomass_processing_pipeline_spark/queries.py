@@ -883,6 +883,27 @@ SQL_JACCARD_TOPK = """
 """
 
 
+# Exact twin of text.fingerprint_udf (window=8, n_min=8): Rabin–Karp window
+# hashes with the SAME uint64 product wrap the numpy path has
+# ((byte * 257^(7-j)) mod 2^64) mod (2^61-1), then the 8 smallest distinct.
+# HUGEINT arithmetic + correlated list comprehensions make it closed-form.
+SQL_DOC_FINGERPRINT = """
+  SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp_hash FROM (
+    SELECT doc_id,
+      list_sort(list_distinct([
+        CAST(list_sum([
+          (unicode(text[i + j])::HUGEINT
+           * ([74051159531521793, 288136807515649, 1121154893057,
+               4362470401, 16974593, 66049, 257, 1])[j + 1])
+          % 18446744073709551616::HUGEINT
+          for j in range(0, 8)
+        ]) % 2305843009213693951 AS BIGINT)
+        for i in range(1, length(text) - 6)
+      ]))[1:8] AS fps
+    FROM documents)
+"""
+
+
 def q_sim_bruteforce(spark, sf_dir):
     """Exact cosine top-5 neighbors (native array math, no Python)."""
     from biomass_processing_pipeline_spark.operators.similarity import (
@@ -977,12 +998,15 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_doc_fingerprint(spark, sf_dir):
-    """Rolling-hash document fingerprints (shift-robust signature)."""
+    """Rolling-hash document fingerprints (shift-robust k-min signature),
+    exploded to ``(doc_id, fp_hash)`` rows so the driver canonicalizer can
+    sort/hash it (array columns are unhashable in pandas)."""
     from biomass_processing_pipeline_spark.operators.text import fingerprint_udf
 
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", fingerprint_udf()(F.col("text")).alias("fingerprint")
+        "doc_id",
+        F.explode(fingerprint_udf()(F.col("text"))).alias("fp_hash"),
     )
 
 
@@ -1117,7 +1141,8 @@ ORACLES: dict[str, str] = {
     "langid": SQL_LANGID,
     "jaccard_topk": SQL_JACCARD_TOPK,
     "sim_bruteforce": SQL_SIM_BRUTEFORCE,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
     # image_pip_county / image_zonal_stats / minhash_pairs / simhash_pairs /
-    # doc_fingerprint / sim_lsh: non-SQL-expressible (binary decode, Arrow
+    # sim_lsh: non-SQL-expressible (binary decode, Arrow
     # ray-cast, LSH internals) -> rows-only driver check + pytest goldens
 }
