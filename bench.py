@@ -14,7 +14,7 @@ Headline queries:
 - ``pip_tile``   : the north_rule job — footprint decode -> Morton cell ->
                    broadcast-cover PIP refine -> lattice tile assign (the
                    throughput metric counts images/sec through this)
-- ``knn_wagg``   : ring-expansion kNN (k=50) + distance-weighted agg
+- ``knn_wagg``   : FUSED ring-expansion kNN (k=50) + distance-weighted agg
 - ``zonal``      : binary decode partials -> per-county band stats + hist
 - ``intersect``  : parcel x class-polygon exact intersection join
 - ``pricing``/``topk``/``wmean``: relational headliners on driver parquet
@@ -40,7 +40,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         crop_coeff_df, crop_rollup, intersection_join, parcel_crop_summary,
     )
     from biomass_processing_pipeline_spark.operators.knn import (
-        distance_weighted_agg, knn_join,
+        knn_weighted_agg_fused,
     )
     from biomass_processing_pipeline_spark.operators.pip import (
         assign_points_to_polygons,
@@ -134,12 +134,13 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         }
 
     def _knn():
-        # shuffle/sort key = compact long seq, not the 25-char string id
+        # shuffle/sort key = compact long seq, not the 25-char string id;
+        # fused operator: agg happens inside the top-k pass, no points x k
+        # intermediate is ever materialized or checkpointed
         fp = with_footprint(images.select("image_id")).drop("image_id")
         plots = spark.read.parquet(f"{fdir}/plots.parquet")
-        knn = knn_join(fp, plots, k=50, point_key="seq")
-        return distance_weighted_agg(
-            knn, plots, ["attr_1", "attr_2"], point_key="seq"
+        return knn_weighted_agg_fused(
+            fp, plots, ["attr_1", "attr_2"], k=50, point_key="seq"
         ).count()
 
     timed("knn_wagg", _knn, repeats=2)

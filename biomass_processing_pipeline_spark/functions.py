@@ -11,9 +11,10 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # unit conversions (crop_analyzer_v3.py:175; database_manager_v3.py:187;
-# optimized_county_processor_v1.py:580)
-ACRES_PER_M2 = 0.000247105
-M2_PER_ACRE = 4047.0
+# optimized_county_processor_v1.py:580) — shared with geometry.py so
+# acres<->m2 are exact inverses everywhere
+from biomass_processing_pipeline_spark.geometry import ACRES_PER_M2, M2_PER_ACRE
+
 LB_PER_TON = 2000.0
 
 

@@ -25,8 +25,11 @@ import numpy as np
 
 _WKT_POLY_RE = re.compile(r"POLYGON\s*\(\(\s*(.*?)\s*\)\)", re.IGNORECASE | re.DOTALL)
 
-M2_PER_ACRE = 4046.8564224
+# the reference's published conversion is 0.000247105 m2->acres
+# (crop_analyzer_v3.py:175 etc.); the inverse is DERIVED from it so
+# acres<->m2 round-trips are exact across the whole engine
 ACRES_PER_M2 = 0.000247105
+M2_PER_ACRE = 1.0 / ACRES_PER_M2
 DEG_M = 111320.0
 
 

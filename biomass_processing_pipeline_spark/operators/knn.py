@@ -99,6 +99,7 @@ def knn_join(
     target_key: str = "plot_cn",
     init_ring: int | None = None,
     max_rounds: int = 4,  # kept for API compat; the 2-phase plan needs none
+    broadcast_threshold: int = 2_000_000,
 ) -> DataFrame:
     """points(point_key, lon, lat, cell_id) x targets(target_key, lon, lat)
     -> (point_key, target_key, distance, rank), rank 1..k. Exact
@@ -168,7 +169,7 @@ def knn_join(
     # join shuffle-free on the big side.
     t_ring = targets.withColumn("ring_cell", F.explode(ring(F.col("t_cell"))))
     ring_rows = n_targets * (2 * ring_k + 1) ** 2
-    broadcast_side = ring_rows <= 2_000_000
+    broadcast_side = ring_rows <= broadcast_threshold
     if broadcast_side:
         t_ring = F.broadcast(t_ring)
     cand = (
@@ -233,6 +234,7 @@ def knn_weighted_agg_fused(
     point_key: str = "image_id",
     target_key: str = "plot_cn",
     eps: float = 0.01,
+    broadcast_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Fused kNN + distance-weighted aggregation: semantically identical to
     ``distance_weighted_agg(knn_join(...), targets, attrs)`` but the
@@ -274,9 +276,14 @@ def knn_weighted_agg_fused(
         "p_cell", cells.cell_id_col(F.col("lon"), F.col("lat"), level)
     )
     ring = _ring_udf(level, ring_k)
-    t_ring = F.broadcast(
-        t_sel.withColumn("ring_cell", F.explode(ring(F.col("t_cell"))))
-    )
+    t_ring = t_sel.withColumn("ring_cell", F.explode(ring(F.col("t_cell"))))
+    # same guard as knn_join: an explicit `level` arg or the level-4 floor
+    # can make the exploded ring table arbitrarily large — only broadcast
+    # when it provably fits, else shuffle-join + window top-k
+    ring_rows = n_targets * (2 * ring_k + 1) ** 2
+    broadcast_side = ring_rows <= broadcast_threshold
+    if broadcast_side:
+        t_ring = F.broadcast(t_ring)
     cand = (
         pts.join(t_ring, F.col("p_cell") == F.col("ring_cell"))
         .withColumn("distance", distance_deg(
@@ -324,7 +331,33 @@ def knn_weighted_agg_fused(
         yield out[[point_key, "sum_w", "n_neighbors", "complete"]
                   + [f"w_{a}" for a in attrs]]
 
-    agg = cand.mapInPandas(_agg, schema=schema).localCheckpoint(eager=False)
+    if broadcast_side:
+        # broadcast co-location: every candidate of a point shares its
+        # partition, so the whole kNN + weighted agg is one map-side pass
+        agg = cand.mapInPandas(_agg, schema=schema)
+    else:
+        # shuffle fallback (huge ring table): exact top-k via window, then
+        # relational weighted agg — same outputs incl. completeness guard.
+        # n_neighbors >= k iff the pre-limit candidate count was >= k.
+        w = Window.partitionBy(point_key).orderBy("distance", target_key)
+        topk = cand.withColumn("_rank", F.row_number().over(w)).where(
+            F.col("_rank") <= k
+        )
+        wcol = 1.0 / (F.col("distance") + F.lit(eps))
+        aggs = [
+            F.sum(wcol).alias("sum_w"),
+            F.count("*").alias("n_neighbors"),
+            ((F.count("*") >= k)
+             & (F.max("distance") <= F.lit(guard))).alias("complete"),
+        ] + [
+            (F.sum(wcol * F.col(a)) / F.sum(wcol)).alias(f"w_{a}")
+            for a in attrs
+        ]
+        agg = topk.groupBy(point_key).agg(*aggs).select(
+            point_key, "sum_w", "n_neighbors", "complete",
+            *[f"w_{a}" for a in attrs]
+        )
+    agg = agg.localCheckpoint(eager=False)
     done = agg.where(F.col("complete")).drop("complete")
     complete_keys = agg.where(F.col("complete")).select(point_key)
     stragglers = pts.join(F.broadcast(complete_keys), point_key, "left_anti")

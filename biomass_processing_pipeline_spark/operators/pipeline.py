@@ -83,8 +83,8 @@ def county_tile_assign(
 ) -> DataFrame:
     """points(point_key, lon, lat, cell_id) -> (point_key, fips, tile_code).
 
-    Semantics identical to assign_points_to_polygons + assign_images_to_tiles
-    (min-key tie rules); verified against both in tests.
+    Same results as assign_points_to_polygons + assign_images_to_tiles
+    everywhere except exact piece seams (below); verified in tests.
 
     ``assume_tiling``: county dictionaries are spatial *partitions*
     (non-overlapping tilings), so with half-open [min, max) piece tests
@@ -94,6 +94,13 @@ def county_tile_assign(
     map-only. This is the 10^12-scale path: zero shuffles, pure
     whole-stage-codegen scan. Set False for overlapping polygon sets to
     get the exact min-key groupBy semantics.
+
+    Seam rule (documented divergence): a point EXACTLY on a shared piece
+    edge belongs to the piece whose min edge it lies on (half-open
+    ownership — the same side a standard ray-cast assigns for rectangles),
+    while the unfused closed-bbox path resolves the two matches min-key.
+    Points on the tiling's global max edges are NOT dropped: the half-open
+    test closes at the global bounds (see ``gx1``/``gy1`` below).
     """
     cover, prepared = dicts if dicts is not None else build_dictionaries(
         spark, counties, level
@@ -117,11 +124,22 @@ def county_tile_assign(
         # map-only ownership argument doesn't hold -> exact path
         assume_tiling = False
     if assume_tiling:
-        # half-open piece ownership: exactly one match per point -> map-only
-        hits = points.join(F.broadcast(cover), "cell_id").where(
-            (F.col("lon") >= F.col("p_minx")) & (F.col("lon") < F.col("p_maxx"))
-            & (F.col("lat") >= F.col("p_miny")) & (F.col("lat") < F.col("p_maxy"))
+        # half-open piece ownership: exactly one match per point -> map-only.
+        # The max edge closes at the tiling's GLOBAL bounds so boundary
+        # points on the outermost edge aren't dropped (ownership stays
+        # unique: per dimension a coordinate satisfies the half-open test of
+        # exactly one piece, or the closed test of the single outermost one).
+        gx1 = max(float(xs.max()) for xs, _ in prepared.value.values())
+        gy1 = max(float(ys.max()) for _, ys in prepared.value.values())
+        own_x = (F.col("lon") >= F.col("p_minx")) & (
+            (F.col("lon") < F.col("p_maxx"))
+            | ((F.col("lon") == F.col("p_maxx")) & (F.col("p_maxx") == gx1))
         )
+        own_y = (F.col("lat") >= F.col("p_miny")) & (
+            (F.col("lat") < F.col("p_maxy"))
+            | ((F.col("lat") == F.col("p_maxy")) & (F.col("p_maxy") == gy1))
+        )
+        hits = points.join(F.broadcast(cover), "cell_id").where(own_x & own_y)
         return hits.select(point_key, "fips", tile.alias("tile_code"))
 
     cand = points.join(F.broadcast(cover), "cell_id").where(

@@ -66,6 +66,12 @@ def write_with_lineage(
     """
     spark = df.sparkSession
     run_id = run_id or uuid.uuid4().hex[:12]
+    # snapshot of already-complete buckets BEFORE this write: the post-write
+    # count below anti-joins against it, so a resumed run emits lineage rows
+    # only for the buckets written THIS run (no double-counting across
+    # run_ids). A deliberate direct re-write of a completed bucket keeps its
+    # original lineage row.
+    prev = F.broadcast(completed_buckets(spark, out_dir))
     t0 = time.time()
     data_path = os.path.join(out_dir, "data")
     (
@@ -75,9 +81,13 @@ def write_with_lineage(
         .parquet(data_path)
     )
     dur = time.time() - t0
+    # per-bucket counts from the written files: only the PARTITION column is
+    # read, so the scan is file-footer metadata, not a second data pass
     counts = (
         spark.read.parquet(data_path)
-        .groupBy(F.col(bucket_col).alias("bucket"))
+        .select(F.col(bucket_col).alias("bucket"))
+        .join(prev, "bucket", "left_anti")
+        .groupBy("bucket")
         .agg(F.count("*").alias("rows_out"))
         .withColumn("duration_sec", F.lit(round(dur, 3)))
         .withColumn("run_id", F.lit(run_id))

@@ -30,6 +30,10 @@ def upsert_parquet(
     write staged to a temp dir then moved keeps the operation atomic-ish
     on a local FS (object stores would use the Iceberg commit protocol).
     """
+    import shutil
+
+    from pyspark.sql import Observation
+
     exists = os.path.exists(path)
     if exists:
         old = spark.read.parquet(path)
@@ -39,14 +43,19 @@ def upsert_parquet(
         merged = keep.unionByName(new)
     else:
         merged = new
+    # ONE data pass: the count rides on the staged write via observe();
+    # the staged dir then replaces the live dir with a filesystem move
+    # (merged reads from `path`, so the swap happens only after the full
+    # staged write succeeded — same ordering an Iceberg commit gives)
     tmp = path.rstrip("/") + "._staged"
-    merged.write.mode("overwrite").parquet(tmp)
-    out = spark.read.parquet(tmp)
-    n = out.count()
-    out.write.mode("overwrite").parquet(path)
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
+    obs = Observation("upsert_rows")
+    merged.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    n = int(obs.get["n"])
+    if exists:
+        shutil.rmtree(path)
+    os.rename(tmp, path)
     return n
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 IMAGE_SCHEMA = (
@@ -58,13 +58,16 @@ def ingest_images(
             with_footprint(batch_df), prefix_level=prefix_level
         ).select("image_id", "cell_id", "cell_prefix")
         partials = decode_partials(batch_df).join(fp, "image_id")
-        partials.write.mode("append").partitionBy("cell_prefix").parquet(dst)
-        # count from the written files (metadata-cheap) keeps the write
-        # itself single-pass
-        n = spark.read.parquet(dst).count()
+        # batch-LOCAL row count piggybacked on the write itself via
+        # observe(): one data pass, and crucially NO re-scan of the whole
+        # destination per micro-batch (that would be O(total) per batch =
+        # O(N^2) over an ingest lifetime — a scale-killer at 100 TB)
+        obs = Observation(f"ingest_batch_{batch_id}")
+        observed = partials.observe(obs, F.count(F.lit(1)).alias("rows"))
+        observed.write.mode("append").partitionBy("cell_prefix").parquet(dst)
         row = spark.createDataFrame(
-            [(int(batch_id), int(n), time.time(), "complete")],
-            "batch_id long, rows_total long, ts double, status string",
+            [(int(batch_id), int(obs.get["rows"]), time.time(), "complete")],
+            "batch_id long, rows_batch long, ts double, status string",
         )
         row.write.mode("append").parquet(lineage)
 
@@ -75,5 +78,14 @@ def ingest_images(
         .start()
     )
     q.awaitTermination(timeout_sec)
-    n_rows = spark.read.parquet(dst).count() if os.path.exists(dst) else 0
+    # running total = sum of batch-local lineage rows (metadata-tiny table),
+    # never a full scan of the data directory
+    if os.path.exists(lineage):
+        n_rows = int(
+            spark.read.parquet(lineage)
+            .agg(F.coalesce(F.sum("rows_batch"), F.lit(0)))
+            .collect()[0][0]
+        )
+    else:
+        n_rows = 0
     return {"rows_total": n_rows, "checkpoint": chk}

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from biomass_processing_pipeline_spark import functions as BF
 from biomass_processing_pipeline_spark import synth
 from biomass_processing_pipeline_spark.operators.knn import (
-    distance_weighted_agg, knn_join,
+    knn_weighted_agg_fused,
 )
 from biomass_processing_pipeline_spark.operators.pipeline import (
     build_dictionaries, county_tile_assign,
@@ -63,8 +63,11 @@ def biomass_result_table(spark: SparkSession, fixture_dir: str,
         (F.col("ndvi_sum") / F.col("ndvi_count")).alias("ndvi_mean"),
     )
 
-    knn = knn_join(fp, plots, k=k_neighbors)
-    wagg = distance_weighted_agg(knn, plots, ["attr_1", "attr_2", "attr_3"])
+    # fused kNN + weighted agg: the points x k intermediate never
+    # materializes — the aggregation happens inside the top-k pandas pass
+    wagg = knn_weighted_agg_fused(
+        fp, plots, ["attr_1", "attr_2", "attr_3"], k=k_neighbors
+    )
 
     veg = per_image.select(
         "image_id", "phash_ok", "px_count", "ndvi_mean",

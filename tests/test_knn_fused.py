@@ -24,3 +24,22 @@ def test_fused_equals_unfused(spark, smoke_dir):
     assert np.allclose(fused.sum_w, unfused.sum_w, rtol=1e-12)
     assert np.allclose(fused.w_attr_1, unfused.w_attr_1, rtol=1e-12)
     assert np.allclose(fused.w_attr_2, unfused.w_attr_2, rtol=1e-12)
+
+
+def test_fused_shuffle_fallback_parity(spark, smoke_dir):
+    """broadcast_threshold=0 forces the shuffle-join + window plan (the
+    OOM guard for oversized ring tables); outputs must be identical to the
+    broadcast map-side plan."""
+    fp = with_footprint(load_images(spark, smoke_dir).select("image_id")).limit(120)
+    plots = spark.read.parquet(f"{smoke_dir}/plots.parquet")
+    bcast = knn_weighted_agg_fused(
+        fp, plots, ["attr_1", "attr_2"], k=10
+    ).toPandas().set_index("image_id").sort_index()
+    shuffled = knn_weighted_agg_fused(
+        fp, plots, ["attr_1", "attr_2"], k=10, broadcast_threshold=0
+    ).toPandas().set_index("image_id").sort_index()
+    assert len(shuffled) == len(bcast) == 120
+    assert (shuffled.n_neighbors == bcast.n_neighbors).all()
+    assert np.allclose(shuffled.sum_w, bcast.sum_w, rtol=1e-12)
+    assert np.allclose(shuffled.w_attr_1, bcast.w_attr_1, rtol=1e-12)
+    assert np.allclose(shuffled.w_attr_2, bcast.w_attr_2, rtol=1e-12)

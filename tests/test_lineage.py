@@ -61,6 +61,11 @@ def test_resume_processes_only_missing_buckets(spark, smoke_dir):
         run_resumable(df, out)
         assert spark.read.parquet(f"{out}/data").count() == df.count()
         assert pending(df, out).isEmpty()
+        # lineage rows are per-RUN deltas: the resumed run must not re-emit
+        # rows for buckets the first run completed (no double counting)
+        m = lineage_metrics(spark, out).toPandas()
+        assert m.rows_out.sum() == df.count()
+        assert len(m) == 2  # two run_ids, disjoint bucket sets
     finally:
         shutil.rmtree(out, ignore_errors=True)
 

@@ -27,6 +27,13 @@ def test_incremental_ingest_resumes(spark, smoke_dir):
         # phase 3: nothing new -> no growth
         r3 = ingest_images(spark, src, out)
         assert r3["rows_total"] == r2["rows_total"]
+        # lineage rows are batch-LOCAL (counted via observe on the write,
+        # never a per-batch rescan of the destination): each row is a
+        # strict delta and the deltas sum to the total
+        lin = spark.read.parquet(f"{out}/_lineage").toPandas()
+        assert (lin.rows_batch > 0).all()
+        assert lin.rows_batch.sum() == r2["rows_total"]
+        assert lin.rows_batch.max() < r2["rows_total"]  # no cumulative rows
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
