@@ -3,10 +3,14 @@
 Covers the subset of geometry the engine needs, mirroring the reference's
 ``src/utils/geometry_utils_v1.py`` semantics:
 
-- WKT POLYGON parse/format (exterior ring only — fixtures are simple polys)
-- vectorized ray-casting point-in-polygon (J7 in SURVEY.md §2.3)
-- Sutherland–Hodgman clipping for polygon×polygon intersection *area*
-  (J1; clip polygon must be convex — parcels in our fixtures are)
+- WKT POLYGON/MULTIPOLYGON parse/format incl. holes; GeoJSON conversion
+- vectorized ray-casting point-in-polygon (J7 in SURVEY.md §2.3), even-odd
+  across rings so holes/multipolygons work
+- polygon×polygon intersection *area* (J1) for GENERAL geometry:
+  Sutherland–Hodgman against a convex side when one exists, ear-clipped
+  triangulation of the clip ring otherwise, inclusion–exclusion for holes
+- make_valid / simplify (Douglas–Peucker) / buffer (round joins) analogues
+  of geometry_utils_v1.py:34-160
 - shoelace area + the reference's approximate acre formula
   (``geometry_utils_v1.py:55-83``: deg^2 * 111320^2 * cos(lat) * 0.000247105)
 - bbox / centroid / validity helpers
@@ -187,6 +191,418 @@ def decompose_rectilinear(xs: np.ndarray, ys: np.ndarray) -> list[tuple[float, f
         for a, b in zip(cx[0::2], cx[1::2]):
             out.append((float(a), float(y0v), float(b), float(y1v)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# general geometry: holes, multipolygons, concave×concave intersection
+# (reference handles arbitrary PostGIS geometry via shapely,
+# geometry_utils_v1.py:17-160 — this is the numpy-native equivalent)
+# ---------------------------------------------------------------------------
+
+Ring = tuple  # (xs, ys) numpy float64 arrays, unclosed
+Geom = list   # list of polygons; polygon = [exterior_ring, hole_ring, ...]
+
+_WKT_HEAD_RE = re.compile(r"^\s*(POLYGON|MULTIPOLYGON)\s*", re.IGNORECASE)
+_RING_RE = re.compile(r"\(([^()]*)\)")
+
+
+def _parse_ring(body: str) -> Ring:
+    pts = [p.strip().split() for p in body.split(",") if p.strip()]
+    arr = np.array([[float(a), float(b)] for a, b in pts], dtype=np.float64)
+    if len(arr) > 1 and np.allclose(arr[0], arr[-1]):
+        arr = arr[:-1]
+    return arr[:, 0].copy(), arr[:, 1].copy()
+
+
+def parse_wkt(wkt: str) -> Geom:
+    """WKT POLYGON (with holes) or MULTIPOLYGON -> list of polygons, each a
+    list of (xs, ys) rings with ring 0 the exterior."""
+    m = _WKT_HEAD_RE.match(wkt)
+    if not m:
+        raise ValueError(f"unsupported wkt: {wkt[:60]!r}")
+    body = wkt[m.end():]
+    rings = [_parse_ring(r) for r in _RING_RE.findall(body)]
+    if not rings:
+        raise ValueError(f"no rings in wkt: {wkt[:60]!r}")
+    if m.group(1).upper() == "POLYGON":
+        return [rings]
+    # MULTIPOLYGON: regroup the flat ring list into polygons by splitting
+    # the body on ')), ((' part boundaries and counting rings per part
+    parts = re.split(r"\)\s*\)\s*,\s*\(\s*\(", body.strip().strip("()"))
+    polys: Geom = []
+    idx = 0
+    for part in parts:
+        n = part.count("(") + 1  # rings in this polygon part
+        polys.append(rings[idx: idx + n])
+        idx += n
+    return polys
+
+
+def geom_wkt(geom: Geom) -> str:
+    """Inverse of parse_wkt (POLYGON when one part, else MULTIPOLYGON)."""
+    def ring_s(r: Ring) -> str:
+        xs, ys = r
+        pts = ", ".join(f"{x:.9f} {y:.9f}" for x, y in zip(xs, ys))
+        return f"({pts}, {xs[0]:.9f} {ys[0]:.9f})"
+
+    parts = ["(" + ", ".join(ring_s(r) for r in poly) + ")" for poly in geom]
+    if len(parts) == 1:
+        return "POLYGON " + parts[0]
+    return "MULTIPOLYGON (" + ", ".join(parts) + ")"
+
+
+def geojson_to_geom(gj: dict) -> Geom:
+    """GeoJSON Polygon/MultiPolygon dict -> Geom (reference round-trips the
+    same structures through shapely, geometry_utils_v1.py:103-118)."""
+    t = gj["type"].lower()
+    def ring(c):
+        arr = np.asarray(c, dtype=np.float64)
+        if len(arr) > 1 and np.allclose(arr[0], arr[-1]):
+            arr = arr[:-1]
+        return arr[:, 0].copy(), arr[:, 1].copy()
+    if t == "polygon":
+        return [[ring(r) for r in gj["coordinates"]]]
+    if t == "multipolygon":
+        return [[ring(r) for r in poly] for poly in gj["coordinates"]]
+    raise ValueError(f"unsupported geojson type {gj['type']!r}")
+
+
+def geom_to_geojson(geom: Geom) -> dict:
+    def ring(r: Ring):
+        xs, ys = r
+        coords = [[float(x), float(y)] for x, y in zip(xs, ys)]
+        coords.append(coords[0])
+        return coords
+    if len(geom) == 1:
+        return {"type": "Polygon",
+                "coordinates": [ring(r) for r in geom[0]]}
+    return {"type": "MultiPolygon",
+            "coordinates": [[ring(r) for r in poly] for poly in geom]}
+
+
+def signed_area(xs: np.ndarray, ys: np.ndarray) -> float:
+    x1, y1 = np.roll(xs, -1), np.roll(ys, -1)
+    return float(np.sum(xs * y1 - x1 * ys) / 2.0)
+
+
+def is_convex(xs: np.ndarray, ys: np.ndarray) -> bool:
+    """True iff the ring is convex (collinear vertices allowed)."""
+    x1, y1 = np.roll(xs, -1), np.roll(ys, -1)
+    x2, y2 = np.roll(xs, -2), np.roll(ys, -2)
+    cross = (x1 - xs) * (y2 - y1) - (y1 - ys) * (x2 - x1)
+    return bool(np.all(cross >= 0) or np.all(cross <= 0))
+
+
+def centroid(xs: np.ndarray, ys: np.ndarray) -> tuple[float, float]:
+    """Polygon (area-weighted) centroid, reference get_geometry_centroid."""
+    x1, y1 = np.roll(xs, -1), np.roll(ys, -1)
+    cr = xs * y1 - x1 * ys
+    a = np.sum(cr) / 2.0
+    if a == 0:
+        return float(xs.mean()), float(ys.mean())
+    return (float(np.sum((xs + x1) * cr) / (6 * a)),
+            float(np.sum((ys + y1) * cr) / (6 * a)))
+
+
+def triangulate(xs: np.ndarray, ys: np.ndarray) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Ear-clipping triangulation of a simple CCW ring (collinear vertices
+    are dropped first). O(n^2) — polygon dictionaries are small and
+    driver/broadcast side, never per-row."""
+    cleaned = make_valid_ring(xs, ys)
+    if cleaned is None:
+        return []
+    xs, ys = ensure_ccw(*cleaned)
+    idx = list(range(len(xs)))
+
+    def cross(o: int, a: int, b: int) -> float:
+        return ((xs[a] - xs[o]) * (ys[b] - ys[o])
+                - (ys[a] - ys[o]) * (xs[b] - xs[o]))
+
+    tris: list[tuple[np.ndarray, np.ndarray]] = []
+    spin = 0
+    while len(idx) > 3 and spin <= len(idx):
+        n = len(idx)
+        clipped = False
+        for i in range(n):
+            a, b, c = idx[(i - 1) % n], idx[i], idx[(i + 1) % n]
+            if cross(a, b, c) <= 0:
+                continue  # reflex or degenerate corner: not an ear
+            ear = True
+            for j in idx:
+                if j in (a, b, c):
+                    continue
+                if (cross(a, b, j) >= 0 and cross(b, c, j) >= 0
+                        and cross(c, a, j) >= 0):
+                    ear = False
+                    break
+            if ear:
+                tris.append((np.array([xs[a], xs[b], xs[c]]),
+                             np.array([ys[a], ys[b], ys[c]])))
+                idx.pop(i)
+                clipped = True
+                spin = 0
+                break
+        if not clipped:
+            spin += 1
+            break  # numerically stuck: emit what's left as a fan (best effort)
+    if len(idx) == 3:
+        a, b, c = idx
+        tris.append((np.array([xs[a], xs[b], xs[c]]),
+                     np.array([ys[a], ys[b], ys[c]])))
+    elif len(idx) > 3:
+        for i in range(1, len(idx) - 1):
+            a, b, c = idx[0], idx[i], idx[i + 1]
+            tris.append((np.array([xs[a], xs[b], xs[c]]),
+                         np.array([ys[a], ys[b], ys[c]])))
+    return tris
+
+
+def _ring_pair_acres(sx, sy, cx, cy) -> float:
+    """Intersection area in ACRES of two arbitrary simple rings.
+
+    Convex side (either) becomes the Sutherland–Hodgman clip ring — for
+    convex clip this is EXACTLY the legacy path (bit-identical areas).
+    Concave×concave: the clip ring is triangulated (triangles partition it)
+    and the pieces sum; S–H on a concave subject emits zero-area bridge
+    edges whose shoelace contribution cancels, so each piece is exact.
+    """
+    sx, sy = ensure_ccw(np.asarray(sx), np.asarray(sy))
+    cx, cy = ensure_ccw(np.asarray(cx), np.asarray(cy))
+    if is_convex(cx, cy):
+        pieces = [(cx, cy)]
+    elif is_convex(sx, sy):
+        sx, sy, cx, cy = cx, cy, sx, sy
+        pieces = [(cx, cy)]
+    else:
+        pieces = triangulate(cx, cy)
+    acres = 0.0
+    for px_, py_ in pieces:
+        ix, iy = clip_polygon_convex(sx, sy, px_, py_)
+        if len(ix) >= 3:
+            acres += approx_area_acres(ix, iy)
+    return acres
+
+
+def intersection_acres(ga: Geom, gb: Geom) -> float:
+    """Intersection area in acres of two general geometries (concave OK,
+    holes OK, multipolygons OK) via inclusion–exclusion over ring pairs:
+
+        |A∩B| = |eA∩eB| − Σ|hA∩eB| − Σ|eA∩hB| + ΣΣ|hA∩hB|
+
+    (valid because holes lie inside their exteriors and parts are
+    disjoint). Simple convex×anything inputs take exactly the legacy
+    whole-ring Sutherland–Hodgman path, keeping old results bit-identical.
+    """
+    total = 0.0
+    for pa in ga:
+        for pb in gb:
+            ea, ha = pa[0], pa[1:]
+            eb, hb = pb[0], pb[1:]
+            t = _ring_pair_acres(*ea, *eb)
+            for h in ha:
+                t -= _ring_pair_acres(*h, *eb)
+            for h in hb:
+                t -= _ring_pair_acres(*ea, *h)
+            for h1 in ha:
+                for h2 in hb:
+                    t += _ring_pair_acres(*h1, *h2)
+            total += max(t, 0.0)
+    return total
+
+
+def points_in_rings(px, py, rings: list) -> np.ndarray:
+    """Even-odd PIP across a polygon's rings: XOR of per-ring crossings
+    handles holes natively (inside exterior, inside hole -> outside)."""
+    inside = np.zeros(len(np.asarray(px)), dtype=bool)
+    for xs, ys in rings:
+        inside ^= points_in_polygon(px, py, xs, ys)
+    return inside
+
+
+def points_in_geom(px, py, geom: Geom) -> np.ndarray:
+    """PIP against a general geometry (multipolygon parts are disjoint)."""
+    inside = np.zeros(len(np.asarray(px)), dtype=bool)
+    for poly in geom:
+        inside |= points_in_rings(px, py, poly)
+    return inside
+
+
+def make_valid_ring(xs: np.ndarray, ys: np.ndarray):
+    """Minimal ``make_valid`` analogue (reference fix_geometry,
+    geometry_utils_v1.py:34-53): drop consecutive duplicate and collinear
+    vertices; returns None when no valid ring remains (caller drops it,
+    like the reference's None on unfixable geometry)."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    if len(xs) and np.isclose(xs[0], xs[-1]) and np.isclose(ys[0], ys[-1]):
+        xs, ys = xs[:-1], ys[:-1]
+    keep = np.ones(len(xs), dtype=bool)
+    for i in range(len(xs)):  # consecutive duplicates
+        j = (i + 1) % len(xs)
+        if keep[i] and xs[i] == xs[j] and ys[i] == ys[j] and i != j:
+            keep[j] = False
+    xs, ys = xs[keep], ys[keep]
+    if len(xs) >= 3:  # collinear middles
+        x0, y0 = np.roll(xs, 1), np.roll(ys, 1)
+        x1, y1 = np.roll(xs, -1), np.roll(ys, -1)
+        cr = (xs - x0) * (y1 - ys) - (ys - y0) * (x1 - xs)
+        m = cr != 0
+        xs, ys = xs[m], ys[m]
+    if len(xs) < 3 or not (np.isfinite(xs).all() and np.isfinite(ys).all()):
+        return None
+    if shoelace_area(xs, ys) <= 0.0:
+        return None
+    return xs, ys
+
+
+def _dp_chain(cx: np.ndarray, cy: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker keep-mask for an open chain (endpoints kept)."""
+    keep = np.zeros(len(cx), dtype=bool)
+    keep[[0, len(cx) - 1]] = True
+    stack = [(0, len(cx) - 1)]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 <= i0 + 1:
+            continue
+        ax, ay, bx, by = cx[i0], cy[i0], cx[i1], cy[i1]
+        seg = np.hypot(bx - ax, by - ay)
+        mid = slice(i0 + 1, i1)
+        if seg == 0:
+            d = np.hypot(cx[mid] - ax, cy[mid] - ay)
+        else:
+            d = np.abs((bx - ax) * (ay - cy[mid])
+                       - (ax - cx[mid]) * (by - ay)) / seg
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            j = i0 + 1 + k
+            keep[j] = True
+            stack.append((i0, j))
+            stack.append((j, i1))
+    return keep
+
+
+def simplify_ring(xs: np.ndarray, ys: np.ndarray, tol: float):
+    """Douglas–Peucker ring simplification (reference simplify_geometry,
+    geometry_utils_v1.py:120-139: tolerance in degrees, returns the input
+    unchanged when simplification would collapse/invalidate it)."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    if len(xs) < 5:
+        return xs, ys
+    # anchor at two far-apart vertices so the ring's closure survives DP,
+    # then simplify the two open chains between them independently
+    a = int(np.argmin(xs))
+    rx, ry = np.roll(xs, -a), np.roll(ys, -a)
+    b = int(np.argmax(np.hypot(rx - rx[0], ry - ry[0])))
+    k1 = _dp_chain(rx[: b + 1], ry[: b + 1], tol)
+    cx = np.concatenate([rx[b:], rx[:1]])
+    cy = np.concatenate([ry[b:], ry[:1]])
+    k2 = _dp_chain(cx, cy, tol)
+    keep = np.zeros(len(rx), dtype=bool)
+    keep[: b + 1] = k1
+    keep[b:] |= k2[:-1]
+    out_x, out_y = rx[keep], ry[keep]
+    if len(out_x) < 3 or shoelace_area(out_x, out_y) <= 0.0:
+        return xs, ys  # reference returns the original on failure
+    return out_x, out_y
+
+
+def buffer_ring(xs: np.ndarray, ys: np.ndarray, dist: float,
+                quad_segs: int = 8):
+    """Round-join polygon buffer (reference buffer_geometry,
+    geometry_utils_v1.py:141-160; shapely's default quad_segs=8).
+
+    Exact (up to arc sampling) for convex rings and for concave rings whose
+    reflex features are wider than ``dist``; tighter concavities are
+    smoothed over (documented approximation — the reference's typical use
+    is small search-radius padding, coordinate_utils_v3 ring selection).
+    Negative dist shrinks; returns None when nothing remains.
+    """
+    xs, ys = ensure_ccw(np.asarray(xs, dtype=np.float64),
+                        np.asarray(ys, dtype=np.float64))
+    if dist == 0:
+        v = make_valid_ring(xs, ys)
+        return v
+    n = len(xs)
+    out_x: list[float] = []
+    out_y: list[float] = []
+    sign = 1.0 if dist > 0 else -1.0
+    d = abs(dist)
+
+    def nrm(ux: float, uy: float):
+        # outward unit normal of a CCW edge = clockwise rotation
+        L = np.hypot(ux, uy)
+        return (uy / L, -ux / L) if L else (0.0, 0.0)
+
+    for i in range(n):
+        ax, ay = xs[(i - 1) % n], ys[(i - 1) % n]
+        bx, by = xs[i], ys[i]
+        cx_, cy_ = xs[(i + 1) % n], ys[(i + 1) % n]
+        n1 = nrm(bx - ax, by - ay)
+        n2 = nrm(cx_ - bx, cy_ - by)
+        p1 = (bx + sign * d * n1[0], by + sign * d * n1[1])
+        p2 = (bx + sign * d * n2[0], by + sign * d * n2[1])
+        turn = (bx - ax) * (cy_ - by) - (by - ay) * (cx_ - bx)
+        if turn * dist > 0:
+            # offset bends AWAY from the corner: round join, arc around b
+            out_x.append(p1[0]); out_y.append(p1[1])
+            a1 = np.arctan2(p1[1] - by, p1[0] - bx)
+            a2 = np.arctan2(p2[1] - by, p2[0] - bx)
+            sweep = ((a2 - a1) % (2 * np.pi) if dist > 0
+                     else -((a1 - a2) % (2 * np.pi)))
+            steps = max(int(abs(sweep) / (np.pi / 2) * quad_segs), 1)
+            for s in range(1, steps):
+                ang = a1 + sweep * s / steps
+                out_x.append(bx + d * np.cos(ang))
+                out_y.append(by + d * np.sin(ang))
+            out_x.append(p2[0]); out_y.append(p2[1])
+        elif turn == 0:
+            out_x.append(p1[0]); out_y.append(p1[1])
+        else:
+            # offset bends INTO the corner: miter join (intersection of the
+            # two offset edge lines); bevel when nearly parallel
+            d1x, d1y = bx - ax, by - ay
+            d2x, d2y = cx_ - bx, cy_ - by
+            denom = d1x * d2y - d1y * d2x
+            if denom == 0:
+                out_x.append(p1[0]); out_y.append(p1[1])
+                out_x.append(p2[0]); out_y.append(p2[1])
+            else:
+                t = ((p2[0] - p1[0]) * d2y - (p2[1] - p1[1]) * d2x) / denom
+                mx, my = p1[0] + t * d1x, p1[1] + t * d1y
+                if np.hypot(mx - bx, my - by) > 4 * d:  # miter limit -> bevel
+                    out_x.append(p1[0]); out_y.append(p1[1])
+                    out_x.append(p2[0]); out_y.append(p2[1])
+                else:
+                    out_x.append(mx); out_y.append(my)
+    v = make_valid_ring(np.array(out_x), np.array(out_y))
+    if v is None or signed_area(*v) <= 0:
+        return None  # collapsed/inverted (ring smaller than |dist|)
+    if dist < 0:
+        # an even number of edge inversions can re-right the orientation
+        # (e.g. shrinking past the centroid): every surviving vertex must
+        # keep |dist| clearance from the original boundary
+        clear = points_ring_distance(v[0], v[1], xs, ys)
+        if (clear < d * (1 - 1e-9)).any():
+            return None
+    return v
+
+
+def points_ring_distance(px, py, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Vectorized distance from points to a ring's BOUNDARY (segments)."""
+    px = np.asarray(px, dtype=np.float64)[:, None]
+    py = np.asarray(py, dtype=np.float64)[:, None]
+    ax, ay = xs[None, :], ys[None, :]
+    bx, by = np.roll(xs, -1)[None, :], np.roll(ys, -1)[None, :]
+    dx, dy = bx - ax, by - ay
+    L2 = dx * dx + dy * dy
+    t = np.clip(
+        np.divide((px - ax) * dx + (py - ay) * dy, L2,
+                  out=np.zeros_like(L2 + px), where=L2 > 0),
+        0.0, 1.0,
+    )
+    qx, qy = ax + t * dx, ay + t * dy
+    return np.sqrt((px - qx) ** 2 + (py - qy) ** 2).min(axis=1)
 
 
 def is_valid_ring(xs: np.ndarray, ys: np.ndarray) -> bool:

@@ -14,7 +14,8 @@ Spark-first shape:
    exploded (cell_id, key) tables; the class-polygon dictionary is the
    broadcast side, per north_rule);
 2. refine: exact intersection area in one Arrow-batched grouped UDF —
-   Sutherland–Hodgman clip against the (convex) parcel rectangle, numpy;
+   Sutherland–Hodgman clip (triangulated when both sides are concave;
+   holes/multipolygons via inclusion–exclusion), numpy;
 3. relational tail: urban-code filter (F1), tiny-intersection filter (F4),
    yield/residue arithmetic from a broadcast crop-coefficient dimension,
    per-parcel aggregates + dominant-crop window (A8/W2-W3).
@@ -77,13 +78,19 @@ def intersection_join(
                   area(A∩B) = Σ over piece pairs of rect∩rect — pure
                   column math (greatest/least + the approx-acre formula),
                   whole-stage codegen, no Python;
-      - "udf"   : Sutherland–Hodgman clip per candidate pair in an Arrow
-                  UDF (general polygons; clip side must be convex).
+      - "udf"   : exact clip per candidate pair in an Arrow UDF — GENERAL
+                  polygons: concave both sides (triangulated clip), holes
+                  (inclusion-exclusion), multipolygons.
     """
     from biomass_processing_pipeline_spark.operators.pip import polygon_cover_df
 
+    def _simple_rectilinear(w: str) -> bool:
+        g = G.parse_wkt(w)
+        return (len(g) == 1 and len(g[0]) == 1
+                and G.is_rectilinear(*g[0][0]))
+
     all_rectilinear = all(
-        G.is_rectilinear(*G.parse_wkt_polygon(w))
+        _simple_rectilinear(w)
         for w in list(parcels["geom_wkt"]) + list(class_polys["geom_wkt"])
     )
     if method == "auto":
@@ -140,26 +147,26 @@ def intersection_join(
             .distinct()
         )
         prepared_p = spark.sparkContext.broadcast({
-            t.parcel_id: G.parse_wkt_polygon(t.geom_wkt)
+            t.parcel_id: G.parse_wkt(t.geom_wkt)
             for t in parcels.itertuples(index=False)
         })
         prepared_c = spark.sparkContext.broadcast({
-            int(t.class_poly_id): G.parse_wkt_polygon(t.geom_wkt)
+            int(t.class_poly_id): G.parse_wkt(t.geom_wkt)
             for t in class_polys.itertuples(index=False)
         })
 
         @pandas_udf("double")
         def _area(parcel_id: pd.Series, class_poly_id: pd.Series) -> pd.Series:
+            # general geometry: concave either side (triangulated clip),
+            # holes (inclusion-exclusion), multipolygons; convex pairs run
+            # the legacy whole-ring Sutherland-Hodgman path bit-identically
+            # (reference handles arbitrary PostGIS geometry via shapely,
+            # geometry_utils_v1.py:103-118)
             out = np.zeros(len(parcel_id))
-            ccw_cache: dict = {}
             for i, (pid, cid) in enumerate(zip(parcel_id, class_poly_id)):
-                sx, sy = prepared_c.value[int(cid)]
-                if pid not in ccw_cache:
-                    ccw_cache[pid] = G.ensure_ccw(*prepared_p.value[pid])
-                cxx, cyy = ccw_cache[pid]
-                # parcel rectangle is the convex clip side
-                ix, iy = G.clip_polygon_convex(sx, sy, cxx, cyy)
-                out[i] = G.approx_area_acres(ix, iy) if len(ix) >= 3 else 0.0
+                out[i] = G.intersection_acres(
+                    prepared_c.value[int(cid)], prepared_p.value[pid]
+                )
             return pd.Series(out)
 
         areas = pairs.withColumn("area_acres", _area("parcel_id", "class_poly_id"))

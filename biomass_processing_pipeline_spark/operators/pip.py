@@ -57,23 +57,29 @@ def polygon_cover_df(
     rows = []
     for t in polys.itertuples(index=False):
         key = getattr(t, key_col)
+        geom = G.parse_wkt(t.geom_wkt)
+        simple = len(geom) == 1 and len(geom[0]) == 1  # one part, no holes
+        gminx = min(float(r[0].min()) for p in geom for r in p[:1])
+        gminy = min(float(r[1].min()) for p in geom for r in p[:1])
+        gmaxx = max(float(r[0].max()) for p in geom for r in p[:1])
+        gmaxy = max(float(r[1].max()) for p in geom for r in p[:1])
         if with_bbox:
-            xs, ys = G.parse_wkt_polygon(t.geom_wkt)
-            if G.is_rectilinear(xs, ys):
+            if simple and G.is_rectilinear(*geom[0][0]):
                 # exact rectangle decomposition: PIP becomes a pure bbox
                 # test per piece — no Python refine for this polygon at all
                 for pi, (minx, miny, maxx, maxy) in enumerate(
-                    G.decompose_rectilinear(xs, ys)
+                    G.decompose_rectilinear(*geom[0][0])
                 ):
                     for c in cells.cover_bbox_np(minx, miny, maxx, maxy, level):
                         rows.append((int(c), key, pi, minx, miny, maxx, maxy, True))
             else:
-                for c in cells.cover_bbox_np(t.minx, t.miny, t.maxx, t.maxy, level):
+                # holes/multipolygons/concave: overall bbox, ray-cast refine
+                for c in cells.cover_bbox_np(gminx, gminy, gmaxx, gmaxy, level):
                     rows.append(
-                        (int(c), key, 0, t.minx, t.miny, t.maxx, t.maxy, False)
+                        (int(c), key, 0, gminx, gminy, gmaxx, gmaxy, False)
                     )
         else:
-            cover = cells.cover_bbox_np(t.minx, t.miny, t.maxx, t.maxy, level)
+            cover = cells.cover_bbox_np(gminx, gminy, gmaxx, gmaxy, level)
             rows.extend((int(c), key) for c in cover)
     cols = ["cell_id", key_col]
     if with_bbox:
@@ -84,9 +90,10 @@ def polygon_cover_df(
 
 
 def prepare_polygons(polys: pd.DataFrame, key_col: str) -> dict:
-    """key -> (xs, ys) prepared exterior rings (numpy) for the refine UDF."""
+    """key -> parsed general geometry (list of polygons, each a list of
+    (xs, ys) rings — holes and multipolygons included) for the refine UDF."""
     return {
-        getattr(t, key_col): G.parse_wkt_polygon(t.geom_wkt)
+        getattr(t, key_col): G.parse_wkt(t.geom_wkt)
         for t in polys.itertuples(index=False)
     }
 
@@ -120,11 +127,11 @@ def assign_points_to_polygons(
         lat_v = lat.to_numpy()
         key_v = key.to_numpy()
         # group the Arrow batch by candidate polygon -> one vectorized
-        # ray-cast per polygon, not per row
+        # ray-cast per polygon, not per row (even-odd across rings, so
+        # holes and multipolygon parts are handled natively)
         for k in pd.unique(key_v):
-            xs, ys = prepared.value[k]
             m = key_v == k
-            out[m] = G.points_in_polygon(lon_v[m], lat_v[m], xs, ys)
+            out[m] = G.points_in_geom(lon_v[m], lat_v[m], prepared.value[k])
         return pd.Series(out)
 
     candidates = points.join(F.broadcast(cover), "cell_id").where(

@@ -111,9 +111,8 @@ def county_tile_assign(
         out = np.zeros(len(lon), dtype=bool)
         lon_v, lat_v, key_v = lon.to_numpy(), lat.to_numpy(), key.to_numpy()
         for k in pd.unique(key_v):
-            xs, ys = prepared.value[k]
             m = key_v == k
-            out[m] = G.points_in_polygon(lon_v[m], lat_v[m], xs, ys)
+            out[m] = G.points_in_geom(lon_v[m], lat_v[m], prepared.value[k])
         return pd.Series(out)
 
     x0, y0, g, n_side = lattice_params(tiles)
@@ -129,8 +128,8 @@ def county_tile_assign(
         # points on the outermost edge aren't dropped (ownership stays
         # unique: per dimension a coordinate satisfies the half-open test of
         # exactly one piece, or the closed test of the single outermost one).
-        gx1 = max(float(xs.max()) for xs, _ in prepared.value.values())
-        gy1 = max(float(ys.max()) for _, ys in prepared.value.values())
+        gx1 = max(float(p[0][0].max()) for g in prepared.value.values() for p in g)
+        gy1 = max(float(p[0][1].max()) for g in prepared.value.values() for p in g)
         own_x = (F.col("lon") >= F.col("p_minx")) & (
             (F.col("lon") < F.col("p_maxx"))
             | ((F.col("lon") == F.col("p_maxx")) & (F.col("p_maxx") == gx1))

@@ -904,6 +904,51 @@ SQL_DOC_FINGERPRINT = """
 """
 
 
+def q_geometry_ops(spark, sf_dir):
+    """§2.7 geometry scalars (fix/simplify/buffer/centroid + WKT parse):
+    build a pentagon WKT natively per part row (duplicate vertex +
+    collinear vertex + jittered top-edge bump), run the numpy geometry
+    kernel in one Arrow UDF, emit closed-form-checkable outputs."""
+    from biomass_processing_pipeline_spark.operators.geom_ops import (
+        geometry_ops_df,
+    )
+
+    part = _t(spark, sf_dir, "part").where(F.col("p_partkey") <= 500)
+    return geometry_ops_df(
+        part,
+        key=F.col("p_partkey"),
+        w=(1 + F.col("p_partkey") % 5).cast("double"),
+        h=(1 + F.col("p_partkey") % 3).cast("double"),
+        jitter=F.when(F.col("p_partkey") % 2 == 0, 0.0001).otherwise(0.01),
+        tol=F.lit(0.0005),
+        dist=0.1 + (F.col("p_partkey") % 4) * 0.05,
+    )
+
+
+# closed-form twin of operators/geom_ops.py: make_valid leaves 5 vertices,
+# DP drops the bump iff jitter < tol, the rect buffer area is
+# A + P*d + 16 d^2 sin(pi/16) (quad_segs=8 arc fans), centroid = center
+SQL_GEOMETRY_OPS = """
+  WITH base AS (
+    SELECT p_partkey AS key,
+           CAST(1 + p_partkey % 5 AS DOUBLE) AS w,
+           CAST(1 + p_partkey % 3 AS DOUBLE) AS h,
+           CASE WHEN p_partkey % 2 = 0 THEN 0.0001 ELSE 0.01 END AS jitter,
+           0.1 + (p_partkey % 4) * 0.05 AS d
+    FROM part WHERE p_partkey <= 500)
+  SELECT key,
+    CAST(5 AS INT) AS nv_valid,
+    CAST(CASE WHEN jitter < 0.0005 THEN 4 ELSE 5 END AS INT) AS nv_simpl,
+    CAST(ROUND(w * h + CASE WHEN jitter < 0.0005 THEN 0
+                            ELSE w * jitter / 2 END, 6) AS DOUBLE) AS area_simpl,
+    CAST(ROUND(w * h + 2 * (w + h) * d
+               + 16 * d * d * sin(pi() / 16), 6) AS DOUBLE) AS buf_area,
+    CAST(ROUND(w / 2, 6) AS DOUBLE) AS cx,
+    CAST(ROUND(h / 2, 6) AS DOUBLE) AS cy
+  FROM base
+"""
+
+
 def q_sim_bruteforce(spark, sf_dir):
     """Exact cosine top-5 neighbors (native array math, no Python)."""
     from biomass_processing_pipeline_spark.operators.similarity import (
@@ -1100,6 +1145,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid": q_langid,
     "jaccard_topk": q_jaccard_topk,
     "sim_bruteforce": q_sim_bruteforce,
+    "geometry_ops": q_geometry_ops,
     "image_pip_county": q_image_pip_county,
     "image_zonal_stats": q_image_zonal_stats,
     "minhash_pairs": q_minhash_pairs,
@@ -1142,6 +1188,7 @@ ORACLES: dict[str, str] = {
     "jaccard_topk": SQL_JACCARD_TOPK,
     "sim_bruteforce": SQL_SIM_BRUTEFORCE,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "geometry_ops": SQL_GEOMETRY_OPS,
     # image_pip_county / image_zonal_stats / minhash_pairs / simhash_pairs /
     # sim_lsh: non-SQL-expressible (binary decode, Arrow
     # ray-cast, LSH internals) -> rows-only driver check + pytest goldens
