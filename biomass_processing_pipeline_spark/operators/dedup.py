@@ -89,26 +89,45 @@ def hash_bytes_np(arr: np.ndarray) -> np.ndarray:
     return out
 
 
-def _minhash_udf(n_hashes: int, seed: int = 42):
+def minhash_coeffs(n_hashes: int, seed: int = 42):
+    """The (a, b) permutation constants — exposed so the DuckDB oracle can
+    embed the identical values."""
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.int64)
     b = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.int64)
+    return a, b
+
+
+def _minhash_band_udf(n_hashes: int, bands: int, seed: int = 42):
+    """shingle-set -> array of ``bands`` band hashes: minhash signature via
+    (a*x+b) mod p permutations, then an FNV fold over each band's rows.
+
+    The fold replaces Spark's murmur3 ``hash(slice(sig, ...))`` with
+    arithmetic a SQL oracle can replicate exactly (uint64 wrap + low-61
+    mask); the join key stays one long per (band, doc)."""
+    a, b = minhash_coeffs(n_hashes, seed)
+    rows = n_hashes // bands
 
     @pandas_udf(T.ArrayType(T.LongType()))
-    def minhash(shingles: pd.Series) -> pd.Series:
+    def minhash_bands(shingles: pd.Series) -> pd.Series:
         out = []
+        prime = np.uint64(1099511628211)
+        offset = np.uint64(1469598103934665603)
         with np.errstate(over="ignore"):
             for sh in shingles:
                 x = np.asarray(sh, dtype=np.uint64)
-                # (a*x + b) mod p per permutation; min over shingles
                 sig = (
                     (a.astype(np.uint64)[:, None] * x[None, :]
                      + b.astype(np.uint64)[:, None]) % np.uint64(_MERSENNE)
                 ).min(axis=1)
-                out.append(sig.astype(np.int64).tolist())
+                band_vals = sig.reshape(bands, rows)
+                h = np.full(bands, offset, dtype=np.uint64)
+                for col in range(rows):
+                    h = (h ^ band_vals[:, col]) * prime
+                out.append((h & np.uint64(_MERSENNE)).astype(np.int64).tolist())
         return pd.Series(out)
 
-    return minhash
+    return minhash_bands
 
 
 def with_shingles(df: DataFrame, text_col: str, k: int = 5) -> DataFrame:
@@ -126,19 +145,14 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """-> (id_a, id_b, jaccard) for pairs with exact Jaccard >= threshold
     among LSH candidates (id_a < id_b)."""
-    rows_per_band = n_hashes // bands
     sh = with_shingles(df.select(id_col, text_col), text_col, shingle_k)
-    sig = sh.withColumn("sig", _minhash_udf(n_hashes)(F.col("shingles")))
+    sig = sh.withColumn(
+        "bhs", _minhash_band_udf(n_hashes, bands)(F.col("shingles"))
+    )
     banded = sig.select(
         F.col(id_col), "shingles",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> struct(b as band_idx, "
-                f"hash(slice(sig, b * {rows_per_band} + 1, {rows_per_band})) as band_hash))"
-            )
-        ).alias("bh"),
-    ).select(id_col, "shingles", "bh.band_idx", "bh.band_hash")
+        F.posexplode("bhs").alias("band_idx", "band_hash"),
+    )
     # consumed as BOTH sides of the self-join -> compute signatures once
     banded = banded.localCheckpoint(eager=False)
 
@@ -164,23 +178,59 @@ def minhash_lsh_pairs(
     return jac.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def _fnv_ragged(tokens: list) -> np.ndarray:
+    """FNV-1a over a batch of variable-length byte strings, vectorized: one
+    masked column sweep over a zero-padded (n_tokens, max_len) matrix —
+    identical values to hash_bytes_np, no per-byte Python loop."""
+    if not tokens:
+        return np.empty(0, dtype=np.int64)
+    lens = np.fromiter((len(t) for t in tokens), dtype=np.int64,
+                       count=len(tokens))
+    max_len = int(lens.max()) if len(lens) else 0
+    flat = np.frombuffer(b"".join(tokens), dtype=np.uint8)
+    offs = np.zeros(len(tokens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    cols = np.arange(max_len)
+    valid = cols[None, :] < lens[:, None]
+    mat = np.zeros((len(tokens), max_len), dtype=np.uint8)
+    idx = np.minimum(offs[:, None] + cols[None, :], max(len(flat) - 1, 0))
+    mat[valid] = flat[idx[valid]]
+    with np.errstate(over="ignore"):
+        h = np.full(len(tokens), 1469598103934665603, dtype=np.uint64)
+        prime = np.uint64(1099511628211)
+        for col in range(max_len):
+            m = valid[:, col]
+            h[m] = (h[m] ^ mat[m, col].astype(np.uint64)) * prime
+        return (h & np.uint64(_MERSENNE)).astype(np.int64)
+
+
 def _simhash_udf():
     @pandas_udf(T.LongType())
     def simhash(text: pd.Series) -> pd.Series:
-        out = np.empty(len(text), dtype=np.int64)
-        for i, t in enumerate(text):
-            tokens = (t or "").lower().split()
-            if not tokens:
-                out[i] = 0
-                continue
-            hs = hash_bytes_np(np.array([w.encode() for w in tokens], dtype=object))
-            bits = ((hs.astype(np.uint64)[:, None] >> np.arange(64, dtype=np.uint64))
-                    & np.uint64(1)).astype(np.int32)
-            vote = (2 * bits - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for bpos in np.nonzero(vote > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(bpos)
-            out[i] = np.int64(sig)
+        # tokenize the whole batch, hash every token in ONE vectorized
+        # masked-FNV pass, then per-doc bit votes via reduceat — the only
+        # Python loop left is the str.split per doc
+        toks_per_doc = [(t or "").lower().split() for t in text]
+        counts = np.fromiter((len(ts) for ts in toks_per_doc),
+                             dtype=np.int64, count=len(toks_per_doc))
+        flat_tokens = [w.encode() for ts in toks_per_doc for w in ts]
+        hs = _fnv_ragged(flat_tokens).astype(np.uint64)
+        signs = (2 * ((hs[:, None] >> np.arange(64, dtype=np.uint64))
+                      & np.uint64(1)).astype(np.int32) - 1)
+        starts = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        out = np.zeros(len(text), dtype=np.int64)
+        nonempty = counts > 0
+        if nonempty.any():
+            # reduceat needs strictly valid starts: restrict to non-empty docs
+            votes = np.add.reduceat(signs, starts[nonempty], axis=0)
+            powers = np.left_shift(
+                np.uint64(1), np.arange(64, dtype=np.uint64)
+            )
+            sigs = ((votes > 0).astype(np.uint64) * powers[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            out[nonempty] = sigs.astype(np.int64)
         return pd.Series(out)
 
     return simhash

@@ -883,6 +883,149 @@ SQL_JACCARD_TOPK = """
 """
 
 
+# Exact twin of dedup.simhash_pairs: FNV-1a per token (uint64 wrap, low-61
+# masked) -> per-bit majority votes -> 61-bit signature; the 4x16-bit block
+# banding is COMPLETE for hamming <= 3 (pigeonhole), so exact all-pairs
+# hamming is the same output.
+# Twins of the image-fixture queries against the fixture's brute-force
+# goldens (synth.py computes county assignment and zonal partials in plain
+# numpy at fixture-build time — an independent implementation of what the
+# engine's broadcast-cover PIP join and Arrow decode pipeline compute).
+# all_phash_ok asserts the constant 1: any decode corruption flips the
+# Spark side to 0 and the value hash catches it.
+SQL_IMAGE_PIP = """
+  SELECT fips, COUNT(*) AS n_images
+  FROM read_parquet(
+    '/tmp/bpp_fixtures/sf0.01/golden_image_county.parquet')
+  GROUP BY fips
+"""
+
+SQL_IMAGE_ZONAL = """
+  WITH g AS (
+    SELECT * FROM read_parquet(
+      '/tmp/bpp_fixtures/sf0.01/golden_zonal_image.parquet/*.parquet')),
+  c AS (
+    SELECT * FROM read_parquet(
+      '/tmp/bpp_fixtures/sf0.01/golden_image_county.parquet'))
+  SELECT c.fips, COUNT(*) AS n_images,
+         CAST(SUM(g.px_count) AS BIGINT) AS n_pixels,
+         CAST(ROUND(SUM(g.sum_r) / SUM(g.px_count), 4) AS DOUBLE) AS mean_r,
+         CAST(ROUND(SUM(g.ndvi_sum) / SUM(g.ndvi_count), 6) AS DOUBLE)
+           AS ndvi_mean,
+         CAST(1 AS INT) AS all_phash_ok
+  FROM g JOIN c USING (image_id)
+  GROUP BY c.fips
+"""
+
+
+# Twin of q_tile_discovery over the image fixture. The driver compares at
+# sf0.01 and runs the Spark query (which materializes the deterministic
+# fixture cache) before its oracle, so the parquet path exists; only the
+# image_id column is read (DuckDB projection pushdown skips the blobs).
+SQL_TILE_DISCOVERY = r"""
+  SELECT regexp_extract(image_id, '^(T\d\d)_', 1) AS tile_code,
+         MIN(regexp_extract(image_id, '_(\d{8})_', 1)) AS first_date,
+         COUNT(DISTINCT regexp_extract(image_id, '_(B\d\d)_', 1)) AS n_bands,
+         COUNT(*) AS n_images
+  FROM read_parquet('/tmp/bpp_fixtures/sf0.01/images.parquet/*.parquet')
+  GROUP BY 1
+"""
+
+
+def _sql_minhash(threshold: float = 0.3) -> str:
+    """Exact twin of dedup.minhash_lsh_pairs, built programmatically (it
+    embeds the 64 (a, b) permutation constants): 5-byte shingle FNV ->
+    64 minhashes with numpy's uint64 product/sum wraps -> FNV band fold
+    (bands=16, rows=4) -> band equi-join candidates -> exact-Jaccard
+    refine. Relational/unrolled (no SQL lambdas) so it runs in seconds."""
+    from biomass_processing_pipeline_spark.operators.dedup import (
+        minhash_coeffs,
+    )
+
+    a, b = minhash_coeffs(64)
+    A = ",".join(map(str, a))
+    B = ",".join(map(str, b))
+    wrap = "% 18446744073709551616::HUGEINT"
+
+    def fnv(terms: list[str]) -> str:
+        e = "1469598103934665603::HUGEINT"
+        for t in terms:
+            e = f"(xor({e}, {t}) * 1099511628211::HUGEINT) {wrap}"
+        return e
+
+    shexpr = fnv([f"unicode(t[i + {j}])::HUGEINT" for j in range(5)])
+    bandexpr = fnv([f"sigs[CAST(band_idx*4 + {r} AS INT) + 1]::HUGEINT"
+                    for r in range(4)])
+    return f"""
+WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+win AS (
+  SELECT doc_id, CAST({shexpr} % 2305843009213693952 AS BIGINT) AS sh
+  FROM docs, LATERAL (SELECT unnest(range(1, length(t) - 3)) AS i) w),
+sh AS (SELECT DISTINCT doc_id, sh FROM win),
+perms AS (SELECT unnest(range(0, 64)) AS p,
+                 unnest([{A}]) AS pa, unnest([{B}]) AS pb),
+sigrows AS (
+  SELECT s.doc_id, p.p,
+    MIN(CAST(((p.pa::HUGEINT * s.sh::HUGEINT {wrap}
+          + p.pb::HUGEINT) {wrap})
+         % 2305843009213693951 AS BIGINT)) AS sig
+  FROM sh s CROSS JOIN perms p GROUP BY 1, 2),
+sig AS (SELECT doc_id, list(sig ORDER BY p) AS sigs FROM sigrows
+        GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, band_idx,
+    CAST({bandexpr} % 2305843009213693952 AS BIGINT) AS band_hash
+  FROM sig, LATERAL (SELECT unnest(range(0, 16)) AS band_idx) tb),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+   AND l.doc_id < r.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS ni
+  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+  GROUP BY 1, 2)
+SELECT i.id_a, i.id_b,
+       CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) AS jaccard
+FROM inter i JOIN sizes na ON na.doc_id = i.id_a
+JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) >= {threshold}
+"""
+
+
+SQL_SIMHASH = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(
+    regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS w
+  FROM documents),
+th AS (
+  SELECT doc_id,
+    CAST(list_reduce(
+      list_prepend(1469598103934665603::HUGEINT,
+        [unicode(w[i])::HUGEINT for i in range(1, length(w)+1)]),
+      (h, c) -> (xor(h, c) * 1099511628211::HUGEINT)
+                % 18446744073709551616::HUGEINT
+    ) % 2305843009213693952 AS BIGINT) AS h
+  FROM tok),
+bits AS (
+  SELECT doc_id, b, SUM((h >> CAST(b AS INT)) & 1) AS s, COUNT(*) AS n
+  FROM th, range(61) t(b) GROUP BY 1, 2),
+sigs0 AS (
+  SELECT doc_id,
+    SUM(CASE WHEN 2*s > n THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS sig
+  FROM bits GROUP BY doc_id),
+sigs AS (
+  SELECT d.doc_id, COALESCE(s.sig, 0) AS sig
+  FROM documents d LEFT JOIN sigs0 s USING (doc_id))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+
+
 # Exact twin of text.fingerprint_udf (window=8, n_min=8): Rabin–Karp window
 # hashes with the SAME uint64 product wrap the numpy path has
 # ((byte * 257^(7-j)) mod 2^64) mod (2^61-1), then the 8 smallest distinct.
@@ -1022,7 +1165,8 @@ def q_image_zonal_stats(spark, sf_dir):
     return s.select(
         "fips", "n_images", "n_pixels",
         F.round("mean_r", 4).alias("mean_r"),
-        F.round("ndvi_mean", 6).alias("ndvi_mean"), "all_phash_ok",
+        F.round("ndvi_mean", 6).alias("ndvi_mean"),
+        F.col("all_phash_ok").cast("int").alias("all_phash_ok"),
     )
 
 
@@ -1189,7 +1333,13 @@ ORACLES: dict[str, str] = {
     "sim_bruteforce": SQL_SIM_BRUTEFORCE,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "geometry_ops": SQL_GEOMETRY_OPS,
-    # image_pip_county / image_zonal_stats / minhash_pairs / simhash_pairs /
-    # sim_lsh: non-SQL-expressible (binary decode, Arrow
-    # ray-cast, LSH internals) -> rows-only driver check + pytest goldens
+    "simhash_pairs": SQL_SIMHASH,
+    "minhash_pairs": _sql_minhash(),
+    "tile_discovery": SQL_TILE_DISCOVERY,
+    "image_pip_county": SQL_IMAGE_PIP,
+    "image_zonal_stats": SQL_IMAGE_ZONAL,
+    # remaining rows-only (3): sim_lsh / sim_ivf candidate sets depend on
+    # float dot-product SIGNS (summation-order-sensitive near zero — a SQL
+    # twin could silently diverge), image_features decodes zlib blobs
+    # DuckDB can't read. All three carry pytest exactness/recall tests.
 }
