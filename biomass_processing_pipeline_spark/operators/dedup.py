@@ -11,7 +11,8 @@ joins/aggregations (no driver-side loops):
   self-join on (band_idx, band_hash) -> exact-Jaccard refine with native
   ``array_intersect``/``array_union`` on the shingle-hash arrays. The
   band join is an equi-join on a high-cardinality key — sort-merge/shuffle
-  friendly and skew-salted if a band bucket explodes.
+  friendly; buckets above ``hot_bucket_threshold`` go through a chunked
+  self-join that spreads their quadratic work over ``hot_chunks`` tasks.
 - **SimHash**: 64-bit signature from token hashes; candidate pairs via
   4x16-bit block banding (two signatures within Hamming distance<=3 share
   a block by pigeonhole); refine on exact Hamming distance with
@@ -142,9 +143,21 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     shingle_k: int = 5,
+    hot_bucket_threshold: int = 20_000,
+    hot_chunks: int = 16,
 ) -> DataFrame:
     """-> (id_a, id_b, jaccard) for pairs with exact Jaccard >= threshold
-    among LSH candidates (id_a < id_b)."""
+    among LSH candidates (id_a < id_b).
+
+    Band-bucket skew salting: a degenerate band value shared by B docs
+    produces B^2 candidates in ONE join task. A census over the banded
+    table (map-side-combinable count) finds buckets above
+    ``hot_bucket_threshold``; their pairs are generated through a chunked
+    self-join — the probe side is split into ``hot_chunks`` hash chunks
+    and the build side explodes over chunk ids, spreading each hot
+    bucket's quadratic work across ``hot_chunks`` tasks while emitting
+    every pair exactly once. Cold buckets keep the plain equi-join.
+    """
     sh = with_shingles(df.select(id_col, text_col), text_col, shingle_k)
     sig = sh.withColumn(
         "bhs", _minhash_band_udf(n_hashes, bands)(F.col("shingles"))
@@ -153,23 +166,50 @@ def minhash_lsh_pairs(
         F.col(id_col), "shingles",
         F.posexplode("bhs").alias("band_idx", "band_hash"),
     )
-    # consumed as BOTH sides of the self-join -> compute signatures once
+    # consumed as BOTH sides of the self-join (and by the census)
+    # -> compute signatures once
     banded = banded.localCheckpoint(eager=False)
 
-    left = banded.select(
-        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"),
-        "band_idx", "band_hash",
+    hot = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > hot_bucket_threshold)
+        .select("band_idx", "band_hash", F.lit(True).alias("_hot"))
     )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"),
-        "band_idx", "band_hash",
+    marked = banded.join(F.broadcast(hot), ["band_idx", "band_hash"], "left")
+    cold = marked.where(F.col("_hot").isNull())
+    hotrows = marked.where(F.col("_hot").isNotNull())
+
+    def _pairs(left_df: DataFrame, right_df: DataFrame,
+               extra_key: list[str]) -> DataFrame:
+        left = left_df.select(
+            F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"),
+            "band_idx", "band_hash", *extra_key,
+        )
+        right = right_df.select(
+            F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"),
+            "band_idx", "band_hash", *extra_key,
+        )
+        return (
+            left.join(right, ["band_idx", "band_hash", *extra_key])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sh_a", "sh_b")
+        )
+
+    cold_pairs = _pairs(cold, cold, [])
+    # hot side: probe keeps its own chunk, build explodes over ALL chunks,
+    # join adds chunk to the key -> each (a, b) pair appears exactly once
+    # (via b's chunk) and the bucket fans out over hot_chunks tasks
+    probe = hotrows.withColumn(
+        "chunk", F.pmod(F.hash(F.col(id_col)), F.lit(hot_chunks))
     )
-    cand = (
-        left.join(right, ["band_idx", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
+    build = hotrows.withColumn(
+        "chunk",
+        F.explode(F.sequence(F.lit(0), F.lit(hot_chunks - 1))),
     )
+    hot_pairs = _pairs(build, probe, ["chunk"])
+
+    cand = cold_pairs.unionByName(hot_pairs).dropDuplicates(["id_a", "id_b"])
     jac = cand.withColumn(
         "jaccard",
         F.size(F.array_intersect("sh_a", "sh_b"))

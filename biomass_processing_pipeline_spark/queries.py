@@ -1047,6 +1047,117 @@ SQL_DOC_FINGERPRINT = """
 """
 
 
+def q_utm_transform(spark, sf_dir):
+    """§2.7 WGS84->UTM forward transform (Snyder series, native column
+    math) + inverse round-trip: rt_lon/rt_lat must recover the inputs
+    (reference coordinate_utils_v3.py:54-169 pyproj parity)."""
+    from biomass_processing_pipeline_spark import functions as BF
+
+    pts = _points(spark, sf_dir)
+    e, n = BF.utm_forward(F.col("lon"), F.col("lat"))
+    out = pts.select(
+        "event_id", "lon", "lat",
+        BF.utm_zone(F.col("lon")).alias("zone"),
+        e.alias("easting"), n.alias("northing"),
+    )
+    rt_lon, rt_lat = BF.utm_inverse(
+        F.col("easting"), F.col("northing"), F.col("zone"),
+        F.lit(True),
+    )
+    return out.select(
+        "event_id",
+        F.col("zone"),
+        F.round("easting", 3).alias("easting"),
+        F.round("northing", 3).alias("northing"),
+        F.round(rt_lon, 6).alias("rt_lon"),
+        F.round(rt_lat, 6).alias("rt_lat"),
+    )
+
+
+def _sql_utm() -> str:
+    """Forward-series twin with the identical constants (full repr
+    precision); the round-trip columns must equal the original lon/lat
+    (inverse-series error << 1e-6 deg)."""
+    from biomass_processing_pipeline_spark import functions as BF
+
+    c = {k: repr(getattr(BF, k)) for k in
+         ("_A", "_E2", "_EP2", "_K0", "_M0", "_M2", "_M4", "_M6")}
+    return f"""
+  WITH pts AS ({_POINTS_SQL}),
+  t AS (
+    SELECT event_id, lon, lat,
+           CAST(FLOOR((lon + 180.0) / 6.0) + 1 AS INT) AS zone,
+           radians(lat) AS phi,
+           radians(lon) - radians((FLOOR((lon + 180.0) / 6.0) + 1 - 1.0)
+                                  * 6.0 - 180.0 + 3.0) AS dlam
+    FROM pts),
+  s AS (
+    SELECT event_id, zone, phi, lat,
+           {c['_A']} / sqrt(1.0 - {c['_E2']} * sin(phi) * sin(phi)) AS n,
+           tan(phi) * tan(phi) AS bt,
+           {c['_EP2']} * cos(phi) * cos(phi) AS bc,
+           cos(phi) * dlam AS a_,
+           {c['_A']} * ({c['_M0']} * phi - {c['_M2']} * sin(2.0 * phi)
+             + {c['_M4']} * sin(4.0 * phi)
+             - {c['_M6']} * sin(6.0 * phi)) AS m
+    FROM t)
+  SELECT event_id, zone,
+    CAST(ROUND({c['_K0']} * n * (a_ + (1.0 - bt + bc) * a_*a_*a_ / 6.0
+      + (5.0 - 18.0*bt + bt*bt + 72.0*bc - 58.0*{c['_EP2']})
+        * a_*a_*a_*a_*a_ / 120.0) + 500000.0, 3) AS DOUBLE) AS easting,
+    CAST(ROUND({c['_K0']} * (m + n * tan(phi) * (a_*a_ / 2.0
+      + (5.0 - bt + 9.0*bc + 4.0*bc*bc) * a_*a_*a_*a_ / 24.0
+      + (61.0 - 58.0*bt + bt*bt + 600.0*bc - 330.0*{c['_EP2']})
+        * a_*a_*a_*a_*a_*a_ / 720.0)), 3) AS DOUBLE) AS northing,
+    CAST(ROUND(lon + 0.0, 6) AS DOUBLE) AS rt_lon,
+    CAST(ROUND(lat + 0.0, 6) AS DOUBLE) AS rt_lat
+  FROM (SELECT s.*, p.lon FROM s JOIN pts p USING (event_id))
+"""
+
+
+def q_json_roundtrip(spark, sf_dir):
+    """§2.7 JSON functions: to_json(struct) -> from_json back to columns,
+    plus get_json_object path extraction over a natively-built JSON doc
+    (reference detail blobs: database_manager_v3.py:700-702,783-785)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    built = o.select(
+        "o_orderkey",
+        F.format_string(
+            '{"key": %s, "meta": {"status": "%s", "prio": "%s"}}',
+            "o_orderkey", "o_orderstatus", "o_orderpriority",
+        ).alias("js"),
+        F.to_json(
+            F.struct(F.col("o_totalprice"), F.col("o_orderstatus"))
+        ).alias("blob"),
+    )
+    parsed = built.select(
+        "o_orderkey",
+        F.get_json_object("js", "$.meta.status").alias("path_status"),
+        F.from_json(
+            "blob", "o_totalprice double, o_orderstatus string"
+        ).alias("rt"),
+    )
+    return parsed.select(
+        "o_orderkey", "path_status",
+        F.col("rt.o_totalprice").alias("rt_price"),
+        F.col("rt.o_orderstatus").alias("rt_status"),
+    )
+
+
+# DuckDB builds + path-extracts the same JSON doc; the round-trip columns
+# must equal the originals
+SQL_JSON_ROUNDTRIP = """
+  SELECT o_orderkey,
+         json_extract_string(
+           format('{{"key": {}, "meta": {{"status": "{}", "prio": "{}"}}}}',
+                  o_orderkey, o_orderstatus, o_orderpriority),
+           '$.meta.status') AS path_status,
+         o_totalprice AS rt_price,
+         o_orderstatus AS rt_status
+  FROM orders WHERE o_orderkey <= 2000
+"""
+
+
 def q_geometry_ops(spark, sf_dir):
     """§2.7 geometry scalars (fix/simplify/buffer/centroid + WKT parse):
     build a pentagon WKT natively per part row (duplicate vertex +
@@ -1290,6 +1401,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_topk": q_jaccard_topk,
     "sim_bruteforce": q_sim_bruteforce,
     "geometry_ops": q_geometry_ops,
+    "json_roundtrip": q_json_roundtrip,
+    "utm_transform": q_utm_transform,
     "image_pip_county": q_image_pip_county,
     "image_zonal_stats": q_image_zonal_stats,
     "minhash_pairs": q_minhash_pairs,
@@ -1333,6 +1446,8 @@ ORACLES: dict[str, str] = {
     "sim_bruteforce": SQL_SIM_BRUTEFORCE,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "geometry_ops": SQL_GEOMETRY_OPS,
+    "json_roundtrip": SQL_JSON_ROUNDTRIP,
+    "utm_transform": _sql_utm(),
     "simhash_pairs": SQL_SIMHASH,
     "minhash_pairs": _sql_minhash(),
     "tile_discovery": SQL_TILE_DISCOVERY,

@@ -97,6 +97,46 @@ def biomass_result_table(spark: SparkSession, fixture_dir: str,
                 F.col("ndvi_mean"),
             ),
         )
+        # reference result-row parity (database_manager_v3.py:664-712):
+        # data_sources TEXT[] + three JSON detail blobs. Sources mirror
+        # _get_data_sources_used (comprehensive_biomass_processor_v3.py:499):
+        # imagery always, FIA when the kNN stage found neighbors, CDL when
+        # vegetation indices resolved.
+        .withColumn(
+            "data_sources",
+            F.filter(
+                F.array(
+                    F.lit("NAIP"),
+                    F.when(F.col("n_neighbors") > 0, F.lit("FIA")),
+                    F.when(F.col("ndvi_mean").isNotNull(), F.lit("CDL")),
+                ),
+                lambda x: x.isNotNull(),
+            ),
+        )
+        .withColumn(
+            "forest_analysis",
+            F.to_json(F.struct(
+                F.round("w_attr_1", 4).alias("biomass_tpa"),
+                F.round("w_attr_2", 4).alias("harvestable_tpa"),
+                F.col("n_neighbors"),
+                F.round("sum_w", 6).alias("sum_w"),
+            )),
+        )
+        .withColumn(
+            "landcover_analysis",
+            F.to_json(F.struct(
+                F.col("ndvi_mean"), F.col("evi"), F.col("savi"),
+                F.col("ndwi"), F.col("px_count"),
+            )),
+        )
+        .withColumn(
+            "crop_analysis",
+            F.to_json(F.struct(
+                F.col("biomass_mult").alias("multiplier"),
+                F.col("standing_biomass_tons"),
+                F.col("harvestable_tons"),
+            )),
+        )
     )
     return out
 

@@ -71,3 +71,27 @@ def test_jaccard_topk_deterministic(spark):
     )
     top = t1[(t1.query_id == 0) & (t1["rank"] == 1)]
     assert top.target_id.iloc[0] == 1 and top.jaccard.iloc[0] == 1.0
+
+
+def test_minhash_hot_bucket_salting_parity(spark):
+    """Band-bucket skew: 120 near-identical docs share every band bucket.
+    With a tiny hot threshold the chunked self-join path engages (visible
+    in the plan) and must emit exactly the same pairs as the plain join."""
+    rows = [(i, BASE + f" tail{i % 3}") for i in range(120)]
+    rows += [(200 + i, f"unrelated text number {i} about engines") for i in range(20)]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    plain = minhash_lsh_pairs(
+        docs, "text", "doc_id", threshold=0.5, hot_bucket_threshold=10**9
+    )
+    salted = minhash_lsh_pairs(
+        docs, "text", "doc_id", threshold=0.5, hot_bucket_threshold=50,
+        hot_chunks=8,
+    )
+    p = plain.toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    s = salted.toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(p) > 100  # the hot cluster really is quadratic-ish
+    pd.testing.assert_frame_equal(p, s)
+    # the chunked path is in the executed plan: chunk join key + explode
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "chunk" in plan and "explode" in plan.lower()

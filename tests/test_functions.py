@@ -54,3 +54,42 @@ def test_forest_math_and_confidence(spark):
     assert abs(r.harv - (5 + 3 + 0.8 * 2)) < 1e-12
     assert abs(r.res - (1 + 0.5 + 0.2 + 0.2 * 2)) < 1e-12
     assert abs(r.conf - round((0.8 + 0.8 + 0.7) / 3, 3)) < 1e-9
+
+
+def test_utm_forward_inverse(spark):
+    """WGS84<->UTM Snyder-series transform: physical anchors + round trip.
+
+    Anchors: a point ON its zone's central meridian has easting exactly
+    500000 and northing = k0 * meridian arc; the equator maps to
+    northing 0; the southern hemisphere gets the 10,000 km false
+    northing; round-trip error < 1e-8 deg everywhere in-zone.
+    """
+    import numpy as np
+
+    pts = pd.DataFrame({
+        "lon": [-93.0, -92.1, -88.7, 8.5, -93.0, 147.3, -93.0],
+        "lat": [40.0, 38.5, 41.2, 47.4, 0.0, -37.8, 40.0],
+    })
+    df = spark.createDataFrame(pts)
+    e, n = BF.utm_forward(F.col("lon"), F.col("lat"))
+    out = df.select("lon", "lat", e.alias("e"), n.alias("n"))
+    rt_lon, rt_lat = BF.utm_inverse(
+        F.col("e"), F.col("n"), BF.utm_zone(F.col("lon")), F.col("lat") >= 0
+    )
+    got = out.select("lon", "lat", "e", "n",
+                     rt_lon.alias("rl"), rt_lat.alias("rp")).toPandas()
+    # central meridian of zone 15 is -93: exact false easting
+    cm = got[got.lon == -93.0]
+    assert np.allclose(cm.e, 500000.0, atol=1e-6)
+    # equator -> northing 0 (northern convention)
+    eq = got[(got.lat == 0.0)]
+    assert np.allclose(eq.n, 0.0, atol=1e-6)
+    # meridian arc at 40N is ~4429.5 km; northing = k0 * arc
+    n40 = float(cm[cm.lat == 40.0].n.iloc[0])
+    assert 0.9996 * 4.40e6 < n40 < 0.9996 * 4.46e6
+    # southern hemisphere carries the 10,000 km false northing
+    south = got[got.lat < 0]
+    assert (south.n > 5.5e6).all()
+    # round trip
+    assert np.abs(got.rl - got.lon).max() < 1e-8
+    assert np.abs(got.rp - got.lat).max() < 1e-8

@@ -55,3 +55,34 @@ def test_result_table_sane_values(spark, smoke_dir):
     assert (res.standing_biomass_tons >= 0).all()
     assert ((res.confidence_score >= 0) & (res.confidence_score <= 1)).all()
     assert res.phash_ok.all()
+
+
+def test_result_table_json_array_parity(spark, smoke_dir):
+    """Reference result-row parity (database_manager_v3.py:664-712):
+    data_sources array + three JSON blobs, and a from_json round-trip that
+    recovers the flat columns exactly."""
+    from pyspark.sql import functions as F
+
+    df = biomass_result_table(spark, smoke_dir, k_neighbors=10).limit(100)
+    pdf = df.toPandas()
+    assert {"data_sources", "forest_analysis", "landcover_analysis",
+            "crop_analysis"} <= set(pdf.columns)
+    # every image decodes + finds neighbors + has NDVI -> all 3 sources
+    assert all(list(s) == ["NAIP", "FIA", "CDL"] for s in pdf.data_sources)
+    rt = df.select(
+        "image_id", "n_neighbors", "standing_biomass_tons",
+        F.from_json(
+            "forest_analysis",
+            "biomass_tpa double, harvestable_tpa double, "
+            "n_neighbors long, sum_w double",
+        ).alias("fa"),
+        F.from_json(
+            "crop_analysis",
+            "multiplier double, standing_biomass_tons double, "
+            "harvestable_tons double",
+        ).alias("ca"),
+    ).toPandas()
+    assert all(r.fa["n_neighbors"] == r.n_neighbors
+               for r in rt.itertuples(index=False))
+    assert all(r.ca["standing_biomass_tons"] == r.standing_biomass_tons
+               for r in rt.itertuples(index=False))
