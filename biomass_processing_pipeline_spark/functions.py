@@ -92,6 +92,70 @@ def utm_forward(lon: Column, lat: Column) -> tuple[Column, Column]:
     return easting, northing
 
 
+# MGRS 100 km grid squares. mgrs_grid_square implements the STANDARD
+# AA-scheme letters (public MGRS spec: 24-letter column cycle offset 8 per
+# zone-in-set, 20-letter row cycle offset 5 on even zones);
+# mgrs_square_utm_bounds reproduces the reference's zone/band lookup-table
+# approximation (coordinate_utils_v3.py:391-472) for parity.
+MGRS_COL_LETTERS = "ABCDEFGHJKLMNPQRSTUVWXYZ"
+MGRS_ROW_LETTERS = "ABCDEFGHJKLMNPQRSTUV"
+_MGRS_ZONE_EASTING_ORIGIN = {10: 300000, 11: 700000, 12: 100000,
+                             13: 500000, 14: 900000, 15: 300000,
+                             16: 700000, 17: 100000, 18: 500000, 19: 900000}
+_MGRS_BAND_NORTHING_ORIGIN = {"R": 2000000, "S": 3100000,
+                              "T": 4200000, "U": 5300000}
+
+
+def mgrs_grid_square(lon: Column, lat: Column) -> Column:
+    """(lon, lat) -> the two-letter MGRS 100 km grid-square id (standard
+    scheme, northern-hemisphere rows), pure column math on utm_forward."""
+    e, n = utm_forward(lon, lat)
+    zone = utm_zone(lon)
+    col_idx = (
+        F.pmod(zone - 1, F.lit(3)) * 8 + F.floor(e / 100000.0) - 1
+    ).cast("int")
+    row_idx = F.pmod(
+        F.floor(n / 100000.0)
+        + F.when(zone % 2 == 0, F.lit(5)).otherwise(F.lit(0)),
+        F.lit(20),
+    ).cast("int")
+    return F.concat(
+        F.substr(F.lit(MGRS_COL_LETTERS), col_idx + 1, F.lit(1)),
+        F.substr(F.lit(MGRS_ROW_LETTERS), row_idx + 1, F.lit(1)),
+    )
+
+
+def mgrs_square_utm_bounds(zone: Column, square: Column,
+                           band: Column) -> Column:
+    """Reference-parity (coordinate_utils_v3.py:391-472): 100 km square ->
+    struct(min_easting, min_northing, max_easting, max_northing) via the
+    reference's zone easting-origin and band northing-origin lookup tables
+    (its own documented CONUS approximation, kept verbatim)."""
+    col_map = F.create_map(*[
+        x for ch, i in ((c, i) for i, c in enumerate(MGRS_COL_LETTERS))
+        for x in (F.lit(ch), F.lit(i))
+    ])
+    row_map = F.create_map(*[
+        x for ch, i in ((c, i) for i, c in enumerate(MGRS_ROW_LETTERS))
+        for x in (F.lit(ch), F.lit(i))
+    ])
+    zone_map = F.create_map(*[
+        F.lit(v) for kv in _MGRS_ZONE_EASTING_ORIGIN.items() for v in kv
+    ])
+    band_map = F.create_map(*[
+        F.lit(v) for kv in _MGRS_BAND_NORTHING_ORIGIN.items() for v in kv
+    ])
+    e0 = (F.coalesce(zone_map[zone], F.lit(100000))
+          + col_map[F.substring(square, 1, 1)] * 100000).cast("long")
+    n0 = (F.coalesce(band_map[band], F.lit(4200000))
+          + row_map[F.substring(square, 2, 1)] * 100000).cast("long")
+    return F.struct(
+        e0.alias("min_easting"), n0.alias("min_northing"),
+        (e0 + 100000).alias("max_easting"),
+        (n0 + 100000).alias("max_northing"),
+    )
+
+
 def utm_inverse(easting: Column, northing: Column, zone: Column,
                 northern: Column) -> tuple[Column, Column]:
     """(easting, northing, zone, is-northern) -> (lon, lat) degrees

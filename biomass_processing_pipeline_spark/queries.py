@@ -1074,16 +1074,16 @@ def q_utm_transform(spark, sf_dir):
     )
 
 
-def _sql_utm() -> str:
-    """Forward-series twin with the identical constants (full repr
-    precision); the round-trip columns must equal the original lon/lat
-    (inverse-series error << 1e-6 deg)."""
+def _sql_utm_fwd_cte() -> str:
+    """Shared forward-series CTE text (identical constants at full repr
+    precision): defines ``utm(event_id, zone, lon, lat, easting,
+    northing)`` over the derived points."""
     from biomass_processing_pipeline_spark import functions as BF
 
     c = {k: repr(getattr(BF, k)) for k in
          ("_A", "_E2", "_EP2", "_K0", "_M0", "_M2", "_M4", "_M6")}
     return f"""
-  WITH pts AS ({_POINTS_SQL}),
+  pts AS ({_POINTS_SQL}),
   t AS (
     SELECT event_id, lon, lat,
            CAST(FLOOR((lon + 180.0) / 6.0) + 1 AS INT) AS zone,
@@ -1092,7 +1092,7 @@ def _sql_utm() -> str:
                                   * 6.0 - 180.0 + 3.0) AS dlam
     FROM pts),
   s AS (
-    SELECT event_id, zone, phi, lat,
+    SELECT event_id, zone, phi, lat, lon,
            {c['_A']} / sqrt(1.0 - {c['_E2']} * sin(phi) * sin(phi)) AS n,
            tan(phi) * tan(phi) AS bt,
            {c['_EP2']} * cos(phi) * cos(phi) AS bc,
@@ -1100,18 +1100,107 @@ def _sql_utm() -> str:
            {c['_A']} * ({c['_M0']} * phi - {c['_M2']} * sin(2.0 * phi)
              + {c['_M4']} * sin(4.0 * phi)
              - {c['_M6']} * sin(6.0 * phi)) AS m
-    FROM t)
+    FROM t),
+  utm AS (
+    SELECT event_id, zone, lon, lat,
+      {c['_K0']} * n * (a_ + (1.0 - bt + bc) * a_*a_*a_ / 6.0
+        + (5.0 - 18.0*bt + bt*bt + 72.0*bc - 58.0*{c['_EP2']})
+          * a_*a_*a_*a_*a_ / 120.0) + 500000.0 AS easting,
+      {c['_K0']} * (m + n * tan(phi) * (a_*a_ / 2.0
+        + (5.0 - bt + 9.0*bc + 4.0*bc*bc) * a_*a_*a_*a_ / 24.0
+        + (61.0 - 58.0*bt + bt*bt + 600.0*bc - 330.0*{c['_EP2']})
+          * a_*a_*a_*a_*a_*a_ / 720.0)) AS northing
+    FROM s)"""
+
+
+def _sql_utm() -> str:
+    """Forward-series twin; the round-trip columns must equal the original
+    lon/lat (inverse-series error << 1e-6 deg)."""
+    return f"""
+  WITH {_sql_utm_fwd_cte()}
   SELECT event_id, zone,
-    CAST(ROUND({c['_K0']} * n * (a_ + (1.0 - bt + bc) * a_*a_*a_ / 6.0
-      + (5.0 - 18.0*bt + bt*bt + 72.0*bc - 58.0*{c['_EP2']})
-        * a_*a_*a_*a_*a_ / 120.0) + 500000.0, 3) AS DOUBLE) AS easting,
-    CAST(ROUND({c['_K0']} * (m + n * tan(phi) * (a_*a_ / 2.0
-      + (5.0 - bt + 9.0*bc + 4.0*bc*bc) * a_*a_*a_*a_ / 24.0
-      + (61.0 - 58.0*bt + bt*bt + 600.0*bc - 330.0*{c['_EP2']})
-        * a_*a_*a_*a_*a_*a_ / 720.0)), 3) AS DOUBLE) AS northing,
+    CAST(ROUND(easting, 3) AS DOUBLE) AS easting,
+    CAST(ROUND(northing, 3) AS DOUBLE) AS northing,
     CAST(ROUND(lon + 0.0, 6) AS DOUBLE) AS rt_lon,
     CAST(ROUND(lat + 0.0, 6) AS DOUBLE) AS rt_lat
-  FROM (SELECT s.*, p.lon FROM s JOIN pts p USING (event_id))
+  FROM utm
+"""
+
+
+def q_mgrs_squares(spark, sf_dir):
+    """§2.7 MGRS 100 km grid squares: standard two-letter square id from
+    the native UTM forward transform, plus the reference's square->UTM
+    bounds lookup (coordinate_utils_v3.py:391-472 parity)."""
+    from biomass_processing_pipeline_spark import functions as BF
+
+    pts = _points(spark, sf_dir)
+    lon, lat = F.col("lon"), F.col("lat")
+    base = pts.select(
+        "event_id",
+        BF.utm_zone(lon).alias("zone"),
+        BF.lat_band(lat).alias("band"),
+        BF.mgrs_grid_square(lon, lat).alias("square"),
+    )
+    b = BF.mgrs_square_utm_bounds(
+        F.col("zone"), F.col("square"), F.col("band")
+    )
+    return base.select(
+        "event_id", "zone", "band", "square",
+        b["min_easting"].alias("min_easting"),
+        b["min_northing"].alias("min_northing"),
+        b["max_easting"].alias("max_easting"),
+        b["max_northing"].alias("max_northing"),
+    )
+
+
+def _sql_mgrs() -> str:
+    """Twin: square letters from the shared UTM forward CTE; bounds from
+    the reference's lookup tables."""
+    from biomass_processing_pipeline_spark import functions as BF
+
+    cols = BF.MGRS_COL_LETTERS
+    rows = BF.MGRS_ROW_LETTERS
+    zmap = " ".join(
+        f"WHEN {z} THEN {e}"
+        for z, e in sorted(BF._MGRS_ZONE_EASTING_ORIGIN.items())
+    )
+    bmap = " ".join(
+        f"WHEN '{b}' THEN {n}"
+        for b, n in sorted(BF._MGRS_BAND_NORTHING_ORIGIN.items())
+    )
+    band_sql = """CASE WHEN lat >= 16 AND lat < 24 THEN 'Q'
+         WHEN lat >= 24 AND lat < 32 THEN 'R'
+         WHEN lat >= 32 AND lat < 40 THEN 'S'
+         WHEN lat >= 40 AND lat < 48 THEN 'T'
+         WHEN lat >= 48 AND lat < 56 THEN 'U'
+         WHEN lat >= 56 AND lat < 64 THEN 'V'
+         ELSE 'X' END"""
+    return f"""
+  WITH {_sql_utm_fwd_cte()},
+  sq AS (
+    SELECT event_id, zone, lat,
+      substring('{cols}',
+        CAST((zone - 1) % 3 * 8 + FLOOR(easting / 100000.0) - 1 AS INT) + 1,
+        1)
+      || substring('{rows}',
+        CAST((CAST(FLOOR(northing / 100000.0) AS BIGINT)
+              + CASE WHEN zone % 2 = 0 THEN 5 ELSE 0 END) % 20 AS INT) + 1,
+        1) AS square
+    FROM utm)
+  SELECT event_id, zone, {band_sql} AS band, square,
+    (CASE zone {zmap} ELSE 100000 END
+     + (strpos('{cols}', substring(square, 1, 1)) - 1) * 100000)::BIGINT
+      AS min_easting,
+    (CASE {band_sql} {bmap} ELSE 4200000 END
+     + (strpos('{rows}', substring(square, 2, 1)) - 1) * 100000)::BIGINT
+      AS min_northing,
+    (CASE zone {zmap} ELSE 100000 END
+     + (strpos('{cols}', substring(square, 1, 1)) - 1) * 100000
+     + 100000)::BIGINT AS max_easting,
+    (CASE {band_sql} {bmap} ELSE 4200000 END
+     + (strpos('{rows}', substring(square, 2, 1)) - 1) * 100000
+     + 100000)::BIGINT AS max_northing
+  FROM sq
 """
 
 
@@ -1403,6 +1492,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geometry_ops": q_geometry_ops,
     "json_roundtrip": q_json_roundtrip,
     "utm_transform": q_utm_transform,
+    "mgrs_squares": q_mgrs_squares,
     "image_pip_county": q_image_pip_county,
     "image_zonal_stats": q_image_zonal_stats,
     "minhash_pairs": q_minhash_pairs,
@@ -1448,6 +1538,7 @@ ORACLES: dict[str, str] = {
     "geometry_ops": SQL_GEOMETRY_OPS,
     "json_roundtrip": SQL_JSON_ROUNDTRIP,
     "utm_transform": _sql_utm(),
+    "mgrs_squares": _sql_mgrs(),
     "simhash_pairs": SQL_SIMHASH,
     "minhash_pairs": _sql_minhash(),
     "tile_discovery": SQL_TILE_DISCOVERY,

@@ -25,3 +25,34 @@ def test_catalog_fallback_roundtrip(spark):
         assert {r.bucket for r in back.select("bucket").distinct().collect()} == {0, 1}
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_merge_upsert_sql_parses_and_fallback_semantics(spark):
+    """The Iceberg MERGE INTO text must be syntactically valid Spark SQL
+    (parser-level check works without Iceberg jars), and the fallback
+    backend must implement the same keep-latest semantics."""
+    from biomass_processing_pipeline_spark.sources.catalog import (
+        merge_upsert, merge_upsert_sql,
+    )
+
+    sql = merge_upsert_sql("cat.db.results", "staged", ["image_id", "fips"])
+    assert "WHEN MATCHED THEN UPDATE SET *" in sql
+    assert "t.image_id = s.image_id AND t.fips = s.fips" in sql
+    # Spark's parser accepts MERGE INTO syntax without any catalog
+    spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+
+    base = tempfile.mkdtemp(prefix="bpp_merge_")
+    try:
+        v1 = spark.createDataFrame(
+            pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]})
+        )
+        v2 = spark.createDataFrame(
+            pd.DataFrame({"k": [2, 4], "v": ["B", "d"]})
+        )
+        t = f"{base}/t"
+        assert merge_upsert(spark, v1, "cat.db.t", ["k"], t) == "parquet-upsert"
+        assert merge_upsert(spark, v2, "cat.db.t", ["k"], t) == "parquet-upsert"
+        got = {r.k: r.v for r in spark.read.parquet(t).collect()}
+        assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
