@@ -17,6 +17,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def forest_threshold_filter(
+    df: DataFrame,
+    acres_col: str = "forest_acres",
+    pct_col: str = "forest_pct",
+    min_acres: float = 0.1,
+    min_pct: float = 5.0,
+) -> DataFrame:
+    """F5: drop rows with minimal forest coverage — the reference skips a
+    parcel when ``forest_area_acres < 0.1 or forest_percentage < 5.0``
+    (forest_analyzer_v3.py:74-77). Native filter; Catalyst pushes it to
+    the scan when the columns are stored."""
+    return df.where(
+        (F.col(acres_col) >= min_acres) & (F.col(pct_col) >= min_pct)
+    )
+
+
 def weighted_mode(
     knn: DataFrame, targets: DataFrame, type_col: str,
     point_key: str = "image_id", target_key: str = "plot_cn",

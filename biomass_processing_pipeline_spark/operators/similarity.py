@@ -61,6 +61,58 @@ def brute_force_topk(
     )
 
 
+def cosine_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    blocked: bool = False,
+    n_bits: int = 10,
+    n_tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    cosine >= threshold, id_a < id_b.
+
+    ``blocked=False``: exact all-pairs (JVM-native array math) — the
+    correctness baseline, quadratic; use on candidate subsets.
+    ``blocked=True``: the 100 TB path — random-hyperplane LSH buckets
+    (union over ``n_tables``) generate candidates via an equi-join, exact
+    cosine refines. High-cosine pairs land in the same bucket in >= 1
+    table w.h.p. (miss prob ~(1 - (1 - theta/pi)^n_bits)^n_tables);
+    recall is tested, not certain."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    if not blocked:
+        cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    else:
+        def banded(df: DataFrame, prefix: str) -> DataFrame:
+            parts = []
+            for t in range(n_tables):
+                s = _sign_sig_udf(dim, n_bits, t)
+                parts.append(df.select(
+                    F.col(id_col).alias(f"id_{prefix}"),
+                    F.col(vec_col).alias(f"v_{prefix}"),
+                    F.lit(t).alias("table"),
+                    s(F.col(vec_col)).alias("bucket"),
+                ))
+            u = parts[0]
+            for o in parts[1:]:
+                u = u.unionByName(o)
+            return u
+
+        cand = (
+            banded(emb, "a").join(banded(emb, "b"), ["table", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "v_a", "v_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    scored = cand.withColumn("cosine", F.round(_cosine_col("v_a", "v_b"), 6))
+    return scored.where(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", "cosine"
+    )
+
+
 def _sign_sig_udf(dim: int, n_bits: int, table: int, seed: int = 42):
     rng = np.random.default_rng(seed * 1000 + table)
     planes = rng.standard_normal((n_bits, dim))

@@ -1204,6 +1204,34 @@ def _sql_mgrs() -> str:
 """
 
 
+def q_forest_threshold(spark, sf_dir):
+    """F5 forest-coverage gate with the reference's exact constants
+    (forest_analyzer_v3.py:74-77: skip < 0.1 acres OR < 5 pct)."""
+    from biomass_processing_pipeline_spark.operators.forest import (
+        forest_threshold_filter,
+    )
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_retailprice") / 1000.0).alias("forest_acres"),
+        F.col("p_size").cast("double").alias("forest_pct"),
+    )
+    return forest_threshold_filter(p).select(
+        "p_partkey",
+        F.round("forest_acres", 6).alias("forest_acres"),
+        "forest_pct",
+    )
+
+
+SQL_FOREST_THRESHOLD = """
+  SELECT p_partkey,
+         CAST(ROUND(p_retailprice / 1000.0, 6) AS DOUBLE) AS forest_acres,
+         CAST(p_size AS DOUBLE) AS forest_pct
+  FROM part
+  WHERE p_retailprice / 1000.0 >= 0.1 AND p_size >= 5.0
+"""
+
+
 def q_json_roundtrip(spark, sf_dir):
     """§2.7 JSON functions: to_json(struct) -> from_json back to columns,
     plus get_json_object path extraction over a natively-built JSON doc
@@ -1244,6 +1272,33 @@ SQL_JSON_ROUNDTRIP = """
          o_totalprice AS rt_price,
          o_orderstatus AS rt_status
   FROM orders WHERE o_orderkey <= 2000
+"""
+
+
+def q_cosine_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline; the
+    LSH-blocked scale path is recall-tested in test_similarity). The 0.4
+    threshold sits in this corpus's top-0.1% similarity tail."""
+    from biomass_processing_pipeline_spark.operators.similarity import (
+        cosine_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_dup_pairs(emb, threshold=0.4)
+
+
+SQL_COSINE_DUPS = """
+  WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+  norms AS (SELECT vec_id, SUM(x * x) AS n2 FROM u GROUP BY vec_id),
+  dots AS (
+    SELECT a.vec_id AS ia, b.vec_id AS ib, SUM(a.x * b.x) AS dot
+    FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+    GROUP BY 1, 2)
+  SELECT ia AS id_a, ib AS id_b,
+         CAST(ROUND(dot / sqrt(na.n2 * nb.n2), 6) AS DOUBLE) AS cosine
+  FROM dots JOIN norms na ON na.vec_id = ia JOIN norms nb ON nb.vec_id = ib
+  WHERE ROUND(dot / sqrt(na.n2 * nb.n2), 6) >= 0.4
 """
 
 
@@ -1493,6 +1548,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_roundtrip": q_json_roundtrip,
     "utm_transform": q_utm_transform,
     "mgrs_squares": q_mgrs_squares,
+    "forest_threshold": q_forest_threshold,
+    "cosine_dups": q_cosine_dups,
     "image_pip_county": q_image_pip_county,
     "image_zonal_stats": q_image_zonal_stats,
     "minhash_pairs": q_minhash_pairs,
@@ -1539,6 +1596,8 @@ ORACLES: dict[str, str] = {
     "json_roundtrip": SQL_JSON_ROUNDTRIP,
     "utm_transform": _sql_utm(),
     "mgrs_squares": _sql_mgrs(),
+    "forest_threshold": SQL_FOREST_THRESHOLD,
+    "cosine_dups": SQL_COSINE_DUPS,
     "simhash_pairs": SQL_SIMHASH,
     "minhash_pairs": _sql_minhash(),
     "tile_discovery": SQL_TILE_DISCOVERY,

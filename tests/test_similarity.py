@@ -84,3 +84,33 @@ def test_centroids_deterministic(spark):
     c1 = train_centroids(emb, n_centroids=4)
     c2 = train_centroids(emb, n_centroids=4)
     assert np.allclose(c1, c2)
+
+
+def test_cosine_dup_pairs_exact_and_blocked(spark):
+    """Planted near-duplicate embeddings: the exact path finds exactly the
+    planted pairs; the LSH-blocked scale path recovers them (recall 1.0 on
+    well-separated planted dups) without the quadratic cross join."""
+    import numpy as np
+    import pandas as pd
+
+    from biomass_processing_pipeline_spark.operators.similarity import (
+        cosine_dup_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 64))
+    rows = [(i, base[i].astype("float32").tolist()) for i in range(40)]
+    # plant 5 near-dups: vec 100+i = vec i + tiny noise
+    for i in range(5):
+        v = base[i] + 0.01 * rng.standard_normal(64)
+        rows.append((100 + i, v.astype("float32").tolist()))
+    emb = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+
+    exact = cosine_dup_pairs(emb, threshold=0.95).toPandas()
+    assert set(zip(exact.id_a, exact.id_b)) == {(i, 100 + i) for i in range(5)}
+    blocked = cosine_dup_pairs(emb, threshold=0.95, blocked=True).toPandas()
+    assert set(zip(blocked.id_a, blocked.id_b)) == {(i, 100 + i) for i in range(5)}
+    # blocked plan must not contain a cartesian/nested-loop join
+    plan = cosine_dup_pairs(emb, threshold=0.95, blocked=True)
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
