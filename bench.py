@@ -256,8 +256,13 @@ for _ in range(3):
 print("LEGRESULT", statistics.median(ts))
 spark.stop()
 """
+    # PIN the leg to exactly `cpus` CPUs: local[N] only caps task slots —
+    # Python workers, GC and shuffle threads otherwise spill onto all 32
+    # vCPUs and the "8-core" leg silently uses far more than 8, poisoning
+    # the scaling ratio (this is what separate cluster hosts give for free)
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, check=True,
+        ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code],
+        capture_output=True, text=True, check=True,
     )
     for line in out.stdout.splitlines():
         if line.startswith("LEGRESULT"):

@@ -61,12 +61,18 @@ def utm_central_meridian(lon: Column) -> Column:
     return (utm_zone(lon).cast("double") - 1.0) * 6.0 - 180.0 + 3.0
 
 
-def utm_forward(lon: Column, lat: Column) -> tuple[Column, Column]:
+def utm_forward(lon: Column, lat: Column,
+                zone: Column | None = None) -> tuple[Column, Column]:
     """(lon, lat) degrees -> (easting, northing) meters in the point's own
-    UTM zone (false easting 500 km; +10,000 km northing south)."""
+    UTM zone (false easting 500 km; +10,000 km northing south). Pass
+    ``zone`` to project into a specific zone's plane instead (the
+    reference's single-transformer behavior for multi-corner shapes)."""
     phi = F.radians(lat)
     lam = F.radians(lon)
-    lam0 = F.radians(utm_central_meridian(lon))
+    if zone is None:
+        lam0 = F.radians(utm_central_meridian(lon))
+    else:
+        lam0 = F.radians((zone.cast("double") - 1.0) * 6.0 - 180.0 + 3.0)
     s, c, t = F.sin(phi), F.cos(phi), F.tan(phi)
     n = _A / F.sqrt(1.0 - _E2 * s * s)
     big_t = t * t
@@ -153,6 +159,50 @@ def mgrs_square_utm_bounds(zone: Column, square: Column,
         e0.alias("min_easting"), n0.alias("min_northing"),
         (e0 + 100000).alias("max_easting"),
         (n0 + 100000).alias("max_northing"),
+    )
+
+
+def reproject_bbox_to_utm(min_lon: Column, min_lat: Column,
+                          max_lon: Column, max_lat: Column) -> Column:
+    """WGS84 bbox -> UTM bbox: transform the 4 corners INTO THE BBOX
+    CENTER'S ZONE (one projection plane, the reference's single-transformer
+    behavior, coordinate_utils_v3.py:104-169) and take the envelope.
+    Native column math throughout."""
+    zone = utm_zone((min_lon + max_lon) / 2.0)
+    es, ns = [], []
+    for lo, la in ((min_lon, min_lat), (max_lon, min_lat),
+                   (min_lon, max_lat), (max_lon, max_lat)):
+        e, n = utm_forward(lo, la, zone=zone)
+        es.append(e)
+        ns.append(n)
+    return F.struct(
+        F.least(*es).alias("min_easting"), F.least(*ns).alias("min_northing"),
+        F.greatest(*es).alias("max_easting"),
+        F.greatest(*ns).alias("max_northing"),
+    )
+
+
+def tile_wgs84_bounds(zone: Column, square: Column, band: Column) -> Column:
+    """MGRS 100 km square -> WGS84 lon/lat envelope: inverse-transform the
+    UTM bounds corners and take min/max (the reference's tile-bounds flow,
+    coordinate_utils_v3.py:355-389: grid UTM bounds -> pyproj inverse ->
+    envelope). Northern hemisphere (the reference's CONUS bands)."""
+    b = mgrs_square_utm_bounds(zone, square, band)
+    corners = [
+        (b["min_easting"], b["min_northing"]),
+        (b["max_easting"], b["min_northing"]),
+        (b["min_easting"], b["max_northing"]),
+        (b["max_easting"], b["max_northing"]),
+    ]
+    lons, lats = [], []
+    for e, n in corners:
+        lo, la = utm_inverse(e.cast("double"), n.cast("double"), zone,
+                             F.lit(True))
+        lons.append(lo)
+        lats.append(la)
+    return F.struct(
+        F.least(*lons).alias("min_lon"), F.least(*lats).alias("min_lat"),
+        F.greatest(*lons).alias("max_lon"), F.greatest(*lats).alias("max_lat"),
     )
 
 
