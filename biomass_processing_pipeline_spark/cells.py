@@ -167,6 +167,37 @@ def cover_bbox_np(
     return encode_np(gx.ravel(), gy.ravel())
 
 
+def cover_bboxes_np(
+    minx: np.ndarray, miny: np.ndarray, maxx: np.ndarray, maxy: np.ndarray,
+    level: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched cover_bbox_np over N closed bboxes in ONE numpy pass:
+    returns (bbox_index, cell_id) pairs. Same cells as calling
+    cover_bbox_np per bbox (closed max edges included), but ~100x faster
+    for dictionary builds with tens of thousands of polygons — the
+    driver-side cover build is serial and would otherwise dominate."""
+    n = 1 << level
+    minx = np.asarray(minx, dtype=np.float64)
+    miny = np.asarray(miny, dtype=np.float64)
+    ix0, iy0 = ixy_np(minx, miny, level)
+    ix1, iy1 = ixy_np(np.asarray(maxx, dtype=np.float64),
+                      np.asarray(maxy, dtype=np.float64), level)
+    ix1 = np.minimum(ix1, n - 1)
+    iy1 = np.minimum(iy1, n - 1)
+    nx = ix1 - ix0 + 1
+    ny = iy1 - iy0 + 1
+    counts = nx * ny
+    total = int(counts.sum())
+    idx = np.repeat(np.arange(len(minx), dtype=np.int64), counts)
+    starts = np.zeros(len(minx), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    local = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    ny_r = np.repeat(ny, counts)
+    gx = np.repeat(ix0, counts) + local // ny_r
+    gy = np.repeat(iy0, counts) + local % ny_r
+    return idx, encode_np(gx, gy)
+
+
 def cell_bounds_np(cell: np.ndarray, level: int) -> tuple[np.ndarray, ...]:
     """(minx, miny, maxx, maxy) of each cell square."""
     n = 1 << level

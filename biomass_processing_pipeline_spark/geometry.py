@@ -164,8 +164,23 @@ def bounds_intersect(
 
 def is_rectilinear(xs: np.ndarray, ys: np.ndarray) -> bool:
     """True iff every edge is axis-parallel."""
-    x1, y1 = np.roll(xs, -1), np.roll(ys, -1)
-    return bool(np.all((xs == x1) | (ys == y1)))
+    # slice-based edges (np.roll allocates twice; this path runs per
+    # polygon in serial driver-side dictionary builds)
+    inner = np.all((xs[:-1] == xs[1:]) | (ys[:-1] == ys[1:]))
+    return bool(inner and (xs[-1] == xs[0] or ys[-1] == ys[0]))
+
+
+def is_bbox_rectangle(xs: np.ndarray, ys: np.ndarray) -> bool:
+    """True iff the ring is exactly its own bbox (a 4-vertex axis-aligned
+    rectangle) — the vectorized cover fast path."""
+    if len(xs) != 4 or not is_rectilinear(xs, ys):
+        return False
+    x0, x1 = xs.min(), xs.max()
+    y0, y1 = ys.min(), ys.max()
+    if x0 == x1 or y0 == y1:
+        return False
+    return bool(np.all((xs == x0) | (xs == x1))
+                and np.all((ys == y0) | (ys == y1)))
 
 
 def decompose_rectilinear(xs: np.ndarray, ys: np.ndarray) -> list[tuple[float, float, float, float]]:
@@ -207,9 +222,13 @@ _RING_RE = re.compile(r"\(([^()]*)\)")
 
 
 def _parse_ring(body: str) -> Ring:
-    pts = [p.strip().split() for p in body.split(",") if p.strip()]
-    arr = np.array([[float(a), float(b)] for a, b in pts], dtype=np.float64)
-    if len(arr) > 1 and np.allclose(arr[0], arr[-1]):
+    vals = np.fromiter(
+        (float(x) for x in body.replace(",", " ").split()),
+        dtype=np.float64,
+    )
+    arr = vals.reshape(-1, 2)
+    if len(arr) > 1 and abs(arr[0, 0] - arr[-1, 0]) <= 1e-9 \
+            and abs(arr[0, 1] - arr[-1, 1]) <= 1e-9:
         arr = arr[:-1]
     return arr[:, 0].copy(), arr[:, 1].copy()
 

@@ -84,14 +84,17 @@ def intersection_join(
     """
     from biomass_processing_pipeline_spark.operators.pip import polygon_cover_df
 
-    def _simple_rectilinear(w: str) -> bool:
-        g = G.parse_wkt(w)
+    # parse every WKT exactly once; the parsed geoms feed the method
+    # choice, the cover builds AND the refine broadcast
+    p_geoms = [G.parse_wkt(w) for w in parcels["geom_wkt"]]
+    c_geoms = [G.parse_wkt(w) for w in class_polys["geom_wkt"]]
+
+    def _simple_rectilinear(g) -> bool:
         return (len(g) == 1 and len(g[0]) == 1
                 and G.is_rectilinear(*g[0][0]))
 
     all_rectilinear = all(
-        _simple_rectilinear(w)
-        for w in list(parcels["geom_wkt"]) + list(class_polys["geom_wkt"])
+        _simple_rectilinear(g) for g in p_geoms + c_geoms
     )
     if method == "auto":
         method = "native" if all_rectilinear else "udf"
@@ -107,9 +110,9 @@ def intersection_join(
 
     if method == "native":
         p_cover = polygon_cover_df(spark, parcels, "parcel_id", level,
-                                   with_bbox=True)
+                                   with_bbox=True, geoms=p_geoms)
         c_cover = polygon_cover_df(spark, class_polys, "class_poly_id", level,
-                                   with_bbox=True).select(
+                                   with_bbox=True, geoms=c_geoms).select(
             "cell_id", "class_poly_id",
             F.col("piece").alias("c_piece"),
             F.col("p_minx").alias("c_minx"), F.col("p_miny").alias("c_miny"),
@@ -139,21 +142,21 @@ def intersection_join(
             F.sum("piece_acres").alias("area_acres")
         )
     else:
-        p_cover = polygon_cover_df(spark, parcels, "parcel_id", level)
-        c_cover = polygon_cover_df(spark, class_polys, "class_poly_id", level)
+        p_cover = polygon_cover_df(spark, parcels, "parcel_id", level,
+                                   geoms=p_geoms)
+        c_cover = polygon_cover_df(spark, class_polys, "class_poly_id", level,
+                                   geoms=c_geoms)
         pairs = (
             p_cover.join(c_cover, "cell_id")
             .select("parcel_id", "class_poly_id")
             .distinct()
         )
-        prepared_p = spark.sparkContext.broadcast({
-            t.parcel_id: G.parse_wkt(t.geom_wkt)
-            for t in parcels.itertuples(index=False)
-        })
-        prepared_c = spark.sparkContext.broadcast({
-            int(t.class_poly_id): G.parse_wkt(t.geom_wkt)
-            for t in class_polys.itertuples(index=False)
-        })
+        prepared_p = spark.sparkContext.broadcast(
+            dict(zip(parcels["parcel_id"], p_geoms))
+        )
+        prepared_c = spark.sparkContext.broadcast(
+            dict(zip((int(c) for c in class_polys["class_poly_id"]), c_geoms))
+        )
 
         @pandas_udf("double")
         def _area(parcel_id: pd.Series, class_poly_id: pd.Series) -> pd.Series:

@@ -45,48 +45,76 @@ def polygon_cover_df(
     key_col: str,
     level: int = cells.DEFAULT_LEVEL,
     with_bbox: bool = False,
+    geoms: list | None = None,
 ) -> DataFrame:
     """Exploded (cell_id, key[, bbox, is_rect]) covering table.
 
-    Polygon dictionaries are county-bounded and small (FIXTURES.md: <=128
-    counties), so the cover is computed driver-side in numpy and broadcast.
-    ``with_bbox`` adds the polygon bbox + an ``is_rect`` flag so the join
-    can refine rectangles with pure column predicates (no Python at all)
-    and send only genuinely concave candidates to the ray-cast UDF.
+    Polygon dictionaries are county-bounded and small relative to the fact
+    table, so the cover is computed driver-side in numpy and broadcast —
+    but the build itself is BATCHED: every piece bbox goes through ONE
+    vectorized ``cover_bboxes_np`` call instead of a per-polygon numpy
+    loop (at tens of thousands of dictionary polygons the serial build
+    otherwise dominates the whole job). ``with_bbox`` adds the piece bbox
+    + an ``is_rect`` flag so the join can refine rectangles with pure
+    column predicates and send only genuinely concave candidates to the
+    ray-cast UDF. ``geoms``: optional pre-parsed geometries aligned with
+    ``polys`` rows (callers that already parsed skip the re-parse).
     """
-    rows = []
-    for t in polys.itertuples(index=False):
-        key = getattr(t, key_col)
-        geom = G.parse_wkt(t.geom_wkt)
+    keys = list(polys[key_col])
+    if geoms is None:
+        geoms = [G.parse_wkt(w) for w in polys["geom_wkt"]]
+
+    # one flat piece table: (key, piece_idx, bbox, is_rect)
+    p_keys: list = []
+    p_piece: list[int] = []
+    p_bbox: list[tuple[float, float, float, float]] = []
+    p_rect: list[bool] = []
+    for key, geom in zip(keys, geoms):
         simple = len(geom) == 1 and len(geom[0]) == 1  # one part, no holes
-        gminx = min(float(r[0].min()) for p in geom for r in p[:1])
-        gminy = min(float(r[1].min()) for p in geom for r in p[:1])
-        gmaxx = max(float(r[0].max()) for p in geom for r in p[:1])
-        gmaxy = max(float(r[1].max()) for p in geom for r in p[:1])
-        if with_bbox:
-            if simple and G.is_rectilinear(*geom[0][0]):
-                # exact rectangle decomposition: PIP becomes a pure bbox
-                # test per piece — no Python refine for this polygon at all
-                for pi, (minx, miny, maxx, maxy) in enumerate(
-                    G.decompose_rectilinear(*geom[0][0])
-                ):
-                    for c in cells.cover_bbox_np(minx, miny, maxx, maxy, level):
-                        rows.append((int(c), key, pi, minx, miny, maxx, maxy, True))
-            else:
-                # holes/multipolygons/concave: overall bbox, ray-cast refine
-                for c in cells.cover_bbox_np(gminx, gminy, gmaxx, gmaxy, level):
-                    rows.append(
-                        (int(c), key, 0, gminx, gminy, gmaxx, gmaxy, False)
-                    )
+        if with_bbox and simple and G.is_bbox_rectangle(*geom[0][0]):
+            xs, ys = geom[0][0]
+            p_keys.append(key)
+            p_piece.append(0)
+            p_bbox.append((xs.min(), ys.min(), xs.max(), ys.max()))
+            p_rect.append(True)
+        elif with_bbox and simple and G.is_rectilinear(*geom[0][0]):
+            # exact rectangle decomposition: PIP becomes a pure bbox test
+            # per piece — no Python refine for this polygon at all
+            for pi, bb in enumerate(G.decompose_rectilinear(*geom[0][0])):
+                p_keys.append(key)
+                p_piece.append(pi)
+                p_bbox.append(bb)
+                p_rect.append(True)
         else:
-            cover = cells.cover_bbox_np(gminx, gminy, gmaxx, gmaxy, level)
-            rows.extend((int(c), key) for c in cover)
-    cols = ["cell_id", key_col]
-    if with_bbox:
-        cols += ["piece", "p_minx", "p_miny", "p_maxx", "p_maxy", "is_rect"]
-    return spark.createDataFrame(
-        pd.DataFrame(rows, columns=cols).drop_duplicates()
+            # holes/multipolygons/concave (or bbox-less mode): overall bbox
+            exts = [p[0] for p in geom]
+            p_keys.append(key)
+            p_piece.append(0)
+            p_bbox.append((
+                min(float(r[0].min()) for r in exts),
+                min(float(r[1].min()) for r in exts),
+                max(float(r[0].max()) for r in exts),
+                max(float(r[1].max()) for r in exts),
+            ))
+            p_rect.append(False)
+
+    bb = np.asarray(p_bbox, dtype=np.float64).reshape(-1, 4)
+    idx, cell_ids = cells.cover_bboxes_np(
+        bb[:, 0], bb[:, 1], bb[:, 2], bb[:, 3], level
     )
+    key_arr = np.asarray(p_keys, dtype=object)
+    pdf = pd.DataFrame({
+        "cell_id": cell_ids,
+        key_col: key_arr[idx],
+    })
+    if with_bbox:
+        pdf["piece"] = np.asarray(p_piece, dtype=np.int64)[idx]
+        pdf["p_minx"] = bb[idx, 0]
+        pdf["p_miny"] = bb[idx, 1]
+        pdf["p_maxx"] = bb[idx, 2]
+        pdf["p_maxy"] = bb[idx, 3]
+        pdf["is_rect"] = np.asarray(p_rect, dtype=bool)[idx]
+    return spark.createDataFrame(pdf.drop_duplicates())
 
 
 def prepare_polygons(polys: pd.DataFrame, key_col: str) -> dict:

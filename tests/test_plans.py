@@ -73,3 +73,17 @@ def test_images_bytes_never_read_for_assignment(spark, smoke_dir):
     plan = _plan(county_tile_assign(spark, fp, counties, tiles))
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "bytes" not in read_schema and "caption" not in read_schema
+
+
+def test_utm_mgrs_queries_are_pure_codegen(spark):
+    """The coordinate-transform scalar surface must be JVM-only: the
+    Snyder series and MGRS letter math run as native column expressions,
+    never Python."""
+    from biomass_processing_pipeline_spark.queries import (
+        q_mgrs_squares,
+        q_utm_transform,
+    )
+
+    for q in (q_utm_transform, q_mgrs_squares):
+        plan = _plan(q(spark, "/root/testdata/sf0.001"))
+        assert "Python" not in plan and "ArrowEval" not in plan
