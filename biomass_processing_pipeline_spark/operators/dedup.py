@@ -158,16 +158,20 @@ def minhash_lsh_pairs(
     bucket's quadratic work across ``hot_chunks`` tasks while emitting
     every pair exactly once. Cold buckets keep the plain equi-join.
     """
-    sh = with_shingles(df.select(id_col, text_col), text_col, shingle_k)
-    sig = sh.withColumn(
-        "bhs", _minhash_band_udf(n_hashes, bands)(F.col("shingles"))
-    )
-    banded = sig.select(
-        F.col(id_col), "shingles",
-        F.posexplode("bhs").alias("band_idx", "band_hash"),
+    # shingle arrays are BIG (~KBs per doc): materialize them once and keep
+    # the banded self-join SLIM (id, band_idx, band_hash only — 3 longs);
+    # the arrays join back onto the tiny candidate-pair set for the refine
+    # instead of being duplicated x bands x 2 sides through the shuffle
+    sh = with_shingles(
+        df.select(id_col, text_col), text_col, shingle_k
+    ).select(id_col, "shingles").localCheckpoint(eager=False)
+    banded = sh.select(
+        F.col(id_col),
+        F.posexplode(
+            _minhash_band_udf(n_hashes, bands)(F.col("shingles"))
+        ).alias("band_idx", "band_hash"),
     )
     # consumed as BOTH sides of the self-join (and by the census)
-    # -> compute signatures once
     banded = banded.localCheckpoint(eager=False)
 
     hot = (
@@ -183,17 +187,15 @@ def minhash_lsh_pairs(
     def _pairs(left_df: DataFrame, right_df: DataFrame,
                extra_key: list[str]) -> DataFrame:
         left = left_df.select(
-            F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"),
-            "band_idx", "band_hash", *extra_key,
+            F.col(id_col).alias("id_a"), "band_idx", "band_hash", *extra_key,
         )
         right = right_df.select(
-            F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"),
-            "band_idx", "band_hash", *extra_key,
+            F.col(id_col).alias("id_b"), "band_idx", "band_hash", *extra_key,
         )
         return (
             left.join(right, ["band_idx", "band_hash", *extra_key])
             .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "sh_a", "sh_b")
+            .select("id_a", "id_b")
         )
 
     cold_pairs = _pairs(cold, cold, [])
@@ -210,10 +212,16 @@ def minhash_lsh_pairs(
     hot_pairs = _pairs(build, probe, ["chunk"])
 
     cand = cold_pairs.unionByName(hot_pairs).dropDuplicates(["id_a", "id_b"])
-    jac = cand.withColumn(
-        "jaccard",
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b")),
+    jac = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"),
+                            F.col("shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"),
+                        F.col("shingles").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
     )
     return jac.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
