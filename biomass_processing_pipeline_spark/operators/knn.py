@@ -72,8 +72,6 @@ def _local_topk(cand: DataFrame, k: int, point_key: str, target_key: str,
         T.StructField("_dmax", T.DoubleType()),
     ] + [fields[c] for c in extra_cols])
 
-    out_cols = [point_key, target_key, "distance", "rank", "_n", "_dmax"]
-
     def _topk(batches):
         parts = list(batches)
         if not parts:
@@ -81,15 +79,35 @@ def _local_topk(cand: DataFrame, k: int, point_key: str, target_key: str,
         pdf = pd.concat(parts, ignore_index=True)
         if pdf.empty:
             return
-        pdf = pdf.sort_values(
-            [point_key, "distance", target_key], kind="mergesort"
-        )
-        grp = pdf.groupby(point_key, sort=False)
-        pdf["rank"] = (grp.cumcount() + 1).astype(np.int32)
-        pdf["_n"] = grp[target_key].transform("size").clip(upper=k)
-        take = pdf[pdf["rank"] <= k].copy()
-        take["_dmax"] = take.groupby(point_key, sort=False)["distance"].transform("max")
-        yield take[out_cols + extra_cols]
+        # pure numpy segment math (lexsort + run boundaries) — measured
+        # faster than the equivalent pandas groupby/transform chain on
+        # ~10^5-row partitions
+        pt = pdf[point_key].to_numpy()
+        dist = pdf["distance"].to_numpy()
+        tgt = pdf[target_key].to_numpy()
+        order = np.lexsort((tgt, dist, pt))
+        pt_s, dist_s, tgt_s = pt[order], dist[order], tgt[order]
+        new_grp = np.empty(len(pt_s), dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = pt_s[1:] != pt_s[:-1]
+        gid = np.cumsum(new_grp) - 1
+        starts = np.flatnonzero(new_grp)
+        counts = np.diff(np.append(starts, len(pt_s)))
+        rank = (np.arange(len(pt_s)) - starts[gid] + 1).astype(np.int32)
+        n_clip = np.minimum(counts, k)  # pre-limit count, clipped at k
+        take = rank <= k
+        dmax_g = dist_s[starts + n_clip - 1]  # k-th (or last) distance
+        out = pd.DataFrame({
+            point_key: pt_s[take],
+            target_key: tgt_s[take],
+            "distance": dist_s[take],
+            "rank": rank[take],
+            "_n": n_clip[gid][take],
+            "_dmax": dmax_g[gid][take],
+        })
+        for c in extra_cols:
+            out[c] = pdf[c].to_numpy()[order][take]
+        yield out
 
     return cand.select(
         point_key, target_key, "distance", *extra_cols
@@ -165,9 +183,12 @@ def knn_join(
     )
     # point cells are derived HERE at the operator's own level (the
     # caller's cell_id column, if any, may be at a different level)
+    # consumed by BOTH the candidate join and the straggler anti-join:
+    # checkpoint so the (possibly UDF-derived) point coordinates are
+    # computed once, not once per branch
     pts = points.select(point_key, "lon", "lat").withColumn(
         "p_cell", cells.cell_id_col(F.col("lon"), F.col("lat"), level)
-    )
+    ).localCheckpoint(eager=False)
     ring = _ring_udf(level, ring_k)
     # ring expansion on the SMALL side: point's ring contains the target's
     # cell iff the target's ring contains the point's cell (Chebyshev
@@ -277,9 +298,12 @@ def knn_weighted_agg_fused(
         F.col("lon").alias("t_lon"), F.col("lat").alias("t_lat"),
         cells.cell_id_col(F.col("lon"), F.col("lat"), level).alias("t_cell"),
     )
+    # consumed by BOTH the candidate join and the straggler anti-join:
+    # checkpoint so the (possibly UDF-derived) point coordinates are
+    # computed once, not once per branch
     pts = points.select(point_key, "lon", "lat").withColumn(
         "p_cell", cells.cell_id_col(F.col("lon"), F.col("lat"), level)
-    )
+    ).localCheckpoint(eager=False)
     ring = _ring_udf(level, ring_k)
     t_ring = t_sel.withColumn("ring_cell", F.explode(ring(F.col("t_cell"))))
     # same guard as knn_join: an explicit `level` arg or the level-4 floor
