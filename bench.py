@@ -331,6 +331,10 @@ piece, so no dedup groupBy is needed (pipeline.py). Remaining
 serial cost is per-JOB (driver dispatch + count collect), not
 per-executor — at cluster scale it is amortized to nothing.
 """)
+        # preserve the hand-maintained comparison section across rewrites
+        if os.path.exists("BENCH/COMPARISON.md"):
+            fh.write("\n")
+            fh.write(open("BENCH/COMPARISON.md").read())
     print(json.dumps({
         "ceiling": ceiling, "strong_eff": strong_eff, "weak_eff": weak_eff,
         "t8_strong": strong8, "t32": strong32, "t8_weak": weak8,
