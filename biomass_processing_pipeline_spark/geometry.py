@@ -624,6 +624,47 @@ def points_ring_distance(px, py, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
     return np.sqrt((px - qx) ** 2 + (py - qy) ** 2).min(axis=1)
 
 
+def is_simple_ring(xs: np.ndarray, ys: np.ndarray) -> bool:
+    """True iff no two non-adjacent edges properly cross (O(n^2) segment
+    test, vectorized per edge). Triangulation/clipping areas are only
+    meaningful for simple rings — validate dictionary polygons ONCE at
+    driver time, like the reference's fix_geometry gate."""
+    n = len(xs)
+    if n < 3:
+        return False
+    if n == 3:
+        return True
+    def _proper_cross(i, j):  # scalar test of edges (i,i+1) x (j,j+1)
+        ax, ay, bx, by = xs[i], ys[i], xs[(i + 1) % n], ys[(i + 1) % n]
+        cx, cy, dx, dy = xs[j], ys[j], xs[(j + 1) % n], ys[(j + 1) % n]
+        d1 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        d2 = (bx - ax) * (dy - ay) - (by - ay) * (dx - ax)
+        d3 = (dx - cx) * (ay - cy) - (dy - cy) * (ax - cx)
+        d4 = (dx - cx) * (by - cy) - (dy - cy) * (bx - cx)
+        return ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0))
+    if n == 4:  # only two non-adjacent pairs exist
+        return not (_proper_cross(0, 2) or _proper_cross(1, 3))
+    if is_convex(xs, ys):
+        return True  # convex rings cannot self-intersect
+    x1, y1 = np.concatenate([xs[1:], xs[:1]]), np.concatenate([ys[1:], ys[:1]])
+    for i in range(n):
+        # candidates: edges j > i+1, excluding the wrap pair (0, n-1)
+        j0 = i + 2
+        j1 = n if i > 0 else n - 1
+        if j0 >= j1:
+            continue
+        ax, ay, bx, by = xs[i], ys[i], x1[i], y1[i]
+        cx, cy = xs[j0:j1], ys[j0:j1]
+        dx, dy = x1[j0:j1], y1[j0:j1]
+        d1 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        d2 = (bx - ax) * (dy - ay) - (by - ay) * (dx - ax)
+        d3 = (dx - cx) * (ay - cy) - (dy - cy) * (ax - cx)
+        d4 = (dx - cx) * (by - cy) - (dy - cy) * (bx - cx)
+        if np.any(((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))):
+            return False
+    return True
+
+
 def is_valid_ring(xs: np.ndarray, ys: np.ndarray) -> bool:
     """Minimal validity: >=3 distinct vertices, finite, nonzero area."""
     if len(xs) < 3 or not (np.isfinite(xs).all() and np.isfinite(ys).all()):

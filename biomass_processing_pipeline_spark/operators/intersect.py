@@ -89,6 +89,22 @@ def intersection_join(
     p_geoms = [G.parse_wkt(w) for w in parcels["geom_wkt"]]
     c_geoms = [G.parse_wkt(w) for w in class_polys["geom_wkt"]]
 
+    # fail fast on invalid (self-intersecting) rings: clipped areas would
+    # be silently wrong. The reference gates with fix_geometry/make_valid
+    # (geometry_utils_v1.py:34-53) and skips unfixable parcels; here the
+    # dictionary is driver-side, so surface the bad key loudly instead.
+    for name, keys, geoms in (("parcel", parcels["parcel_id"], p_geoms),
+                              ("class_poly", class_polys["class_poly_id"],
+                               c_geoms)):
+        for key, g in zip(keys, geoms):
+            for poly in g:
+                for ring in poly:
+                    if not G.is_simple_ring(*ring):
+                        raise ValueError(
+                            f"{name} {key!r} has a self-intersecting ring; "
+                            "run make_valid/fix upstream"
+                        )
+
     def _simple_rectilinear(g) -> bool:
         return (len(g) == 1 and len(g[0]) == 1
                 and G.is_rectilinear(*g[0][0]))

@@ -182,3 +182,29 @@ def test_assign_points_handles_holes_and_multi(spark):
         exp = G.points_in_geom(lon, lat, geom)
         got_mask = np.array([got.get(i) == name for i in range(500)])
         assert (got_mask == exp).all(), name
+
+
+def test_is_simple_ring_and_bowtie_rejection(spark):
+    """Self-intersecting input must be rejected loudly (clip areas on a
+    bow-tie are silently wrong) — reference parity: unfixable geometry is
+    gated out, never processed (geometry_utils_v1.py:34-53)."""
+    bow = G.parse_wkt("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))")[0][0]
+    assert not G.is_simple_ring(*bow)
+    assert G.is_simple_ring(*G.parse_wkt(DART)[0][0])
+    assert G.is_simple_ring(*G.parse_wkt(HOLED)[0][1])
+
+    import pytest as _pytest
+
+    from biomass_processing_pipeline_spark.operators.intersect import (
+        intersection_join,
+    )
+
+    parcels = pd.DataFrame([
+        {"parcel_id": "bad", "fips": "06001", "acres": 1.0,
+         "geom_wkt": "POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))"},
+    ])
+    cpolys = pd.DataFrame([
+        {"class_poly_id": 1, "class_code": 1, "geom_wkt": TRI},
+    ])
+    with _pytest.raises(ValueError, match="self-intersecting"):
+        intersection_join(spark, parcels, cpolys)

@@ -89,3 +89,101 @@ def test_mix64_deterministic_and_uniform_ish(vals):
     assert (a == b).all()
     u = synth.u01(z)
     assert ((u >= 0) & (u < 1)).all()
+
+
+# ---------------------------------------------------------------------------
+# round-2 kernels: general geometry + UTM series (pure numpy/math)
+# ---------------------------------------------------------------------------
+
+def _rand_simple_polygon(rng, n):
+    """Random star-shaped simple polygon: angles from bounded gaps (every
+    angular step < pi, so each chord stays inside its convex wedge and the
+    ring cannot self-intersect) + varying radii around a center."""
+    gaps = rng.uniform(0.6, 1.4, n)
+    ang = np.cumsum(gaps) / gaps.sum() * 2 * np.pi
+    rad = rng.uniform(0.5, 3.0, n)
+    return 5 + rad * np.cos(ang), 5 + rad * np.sin(ang)
+
+
+@given(st.integers(0, 10_000), st.integers(4, 12), st.integers(4, 12))
+@settings(max_examples=60, deadline=None)
+def test_intersection_area_properties(seed, na, nb):
+    """General intersection area: symmetric (deg^2), bounded by each
+    operand's own area, and exact against the triangulated self-test
+    A cap A == area(A)."""
+    rng = np.random.default_rng(seed)
+    A = [[_rand_simple_polygon(rng, na)]]
+    B = [[_rand_simple_polygon(rng, nb)]]
+    ab = G.intersection_acres(A, B)
+    ba = G.intersection_acres(B, A)
+    assert ab >= 0 and ba >= 0
+    assert np.isclose(ab, ba, rtol=1e-3, atol=1e-6)
+    area_a = G.approx_area_acres(*A[0][0])
+    area_b = G.approx_area_acres(*B[0][0])
+    assert ab <= max(area_a, area_b) * (1 + 1e-6) + 1e-9
+    # self-intersection == own area (triangulated path must partition)
+    self_a = G.intersection_acres(A, A)
+    assert np.isclose(self_a, area_a, rtol=1e-3)
+
+
+@given(st.integers(0, 10_000), st.integers(5, 14))
+@settings(max_examples=60, deadline=None)
+def test_triangulation_partitions_random_polygons(seed, n):
+    rng = np.random.default_rng(seed)
+    xs, ys = _rand_simple_polygon(rng, n)
+    v = G.make_valid_ring(xs, ys)
+    if v is None:
+        return
+    tris = G.triangulate(*v)
+    assert np.isclose(sum(G.shoelace_area(*t) for t in tris),
+                      G.shoelace_area(*v), rtol=1e-9)
+
+
+@given(st.floats(-179.0, 179.0), st.floats(-80.0, 80.0))
+@settings(max_examples=150, deadline=None)
+def test_utm_series_roundtrip_numpy(lon, lat):
+    """Forward->inverse round trip < 1e-7 deg anywhere in-band (pure-math
+    twin of the column implementation, evaluated via numpy)."""
+    import math
+
+    # evaluate the same Snyder series in plain floats
+    from biomass_processing_pipeline_spark import functions as BF
+
+    a, e2, ep2, k0 = BF._A, BF._E2, BF._EP2, BF._K0
+    m0, m2, m4, m6 = BF._M0, BF._M2, BF._M4, BF._M6
+    zone = int((lon + 180.0) // 6.0) + 1
+    lam0 = math.radians((zone - 1) * 6.0 - 180.0 + 3.0)
+    phi, lam = math.radians(lat), math.radians(lon)
+    s, c, t = math.sin(phi), math.cos(phi), math.tan(phi)
+    n = a / math.sqrt(1 - e2 * s * s)
+    bt, bc = t * t, ep2 * c * c
+    A_ = c * (lam - lam0)
+    m = a * (m0 * phi - m2 * math.sin(2 * phi) + m4 * math.sin(4 * phi)
+             - m6 * math.sin(6 * phi))
+    x = k0 * n * (A_ + (1 - bt + bc) * A_**3 / 6
+                  + (5 - 18 * bt + bt * bt + 72 * bc - 58 * ep2) * A_**5 / 120) \
+        + 500000.0
+    y = k0 * (m + n * t * (A_**2 / 2 + (5 - bt + 9 * bc + 4 * bc * bc) * A_**4 / 24
+                           + (61 - 58 * bt + bt * bt + 600 * bc - 330 * ep2)
+                           * A_**6 / 720))
+    # inverse
+    e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    mu = y / k0 / (a * m0)
+    phi1 = (mu + (3 * e1 / 2 - 27 * e1**3 / 32) * math.sin(2 * mu)
+            + (21 * e1**2 / 16 - 55 * e1**4 / 32) * math.sin(4 * mu)
+            + (151 * e1**3 / 96) * math.sin(6 * mu)
+            + (1097 * e1**4 / 512) * math.sin(8 * mu))
+    s1, c1, t1 = math.sin(phi1), math.cos(phi1), math.tan(phi1)
+    bc1, bt1 = ep2 * c1 * c1, t1 * t1
+    n1 = a / math.sqrt(1 - e2 * s1 * s1)
+    r1 = a * (1 - e2) / (1 - e2 * s1 * s1) ** 1.5
+    d = (x - 500000.0) / (n1 * k0)
+    phi_b = phi1 - (n1 * t1 / r1) * (
+        d**2 / 2 - (5 + 3 * bt1 + 10 * bc1 - 4 * bc1 * bc1 - 9 * ep2) * d**4 / 24
+        + (61 + 90 * bt1 + 298 * bc1 + 45 * bt1 * bt1 - 252 * ep2
+           - 3 * bc1 * bc1) * d**6 / 720)
+    lam_b = lam0 + (d - (1 + 2 * bt1 + bc1) * d**3 / 6
+                    + (5 - 2 * bc1 + 28 * bt1 - 3 * bc1 * bc1 + 8 * ep2
+                       + 24 * bt1 * bt1) * d**5 / 120) / c1
+    assert abs(math.degrees(lam_b) - lon) < 1e-7
+    assert abs(math.degrees(phi_b) - lat) < 1e-7
