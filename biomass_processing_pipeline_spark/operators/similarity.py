@@ -176,13 +176,26 @@ def lsh_topk(
 def train_centroids(
     emb: DataFrame, n_centroids: int = 16, vec_col: str = "embedding",
     sample: int = 2000, iters: int = 5, seed: int = 42,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Deterministic driver-side Lloyd iterations on a fixed sample.
 
+    The sample is PARTITIONING-STABLE: a hash-mod filter on the id column
+    + sort (``limit`` without order depends on partition scheduling and
+    would make "deterministic centroids" a lie across cluster layouts).
     At 10^12 scale this would be a Spark-side kmeans|| — the centroid
     table is tiny either way; training cost is amortized across runs.
     """
-    pdf = emb.select(vec_col).limit(sample).toPandas()
+    pdf = (
+        emb.select(id_col, vec_col)
+        .where(F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), 997)
+               < max(1, 997 * sample // max(emb.count(), 1)))
+        .orderBy(id_col)
+        .limit(sample)
+        .toPandas()
+    )
+    if len(pdf) < n_centroids:  # tiny tables: take everything, ordered
+        pdf = emb.select(id_col, vec_col).orderBy(id_col).limit(sample).toPandas()
     m = np.vstack(pdf[vec_col].to_numpy())
     rng = np.random.default_rng(seed)
     cent = m[rng.choice(len(m), size=n_centroids, replace=False)]

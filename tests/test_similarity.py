@@ -114,3 +114,19 @@ def test_cosine_dup_pairs_exact_and_blocked(spark):
     plan = cosine_dup_pairs(emb, threshold=0.95, blocked=True)
     s = plan._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+
+
+def test_train_centroids_partitioning_independent(spark):
+    """Centroids must be identical regardless of input partitioning (the
+    old limit()-based sample depended on partition scheduling)."""
+    import numpy as np
+
+    from biomass_processing_pipeline_spark.operators.similarity import (
+        train_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    c1 = train_centroids(emb.repartition(1), n_centroids=8)
+    c2 = train_centroids(emb.repartition(13), n_centroids=8)
+    c3 = train_centroids(emb.coalesce(2), n_centroids=8)
+    assert np.array_equal(c1, c2) and np.array_equal(c1, c3)
