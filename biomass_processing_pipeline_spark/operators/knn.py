@@ -6,25 +6,29 @@ distance LIMIT 50`` per parcel (``/root/reference/src/config/
 database_config_v3.py:104-114``) followed by distance-weighted aggregation
 (``src/analyzers/forest_analyzer_v3.py:185-248``: weight = 1/(dist+0.01)).
 
-Spark-first shape:
+Spark-first shape (two-phase, no driver loop):
 
-1. targets get a ``cell_id`` (native Morton columns);
-2. each query point explodes to its k-ring of cells (Arrow UDF producing
-   an array column -> ``explode``) — the reference's zone/band candidate
-   ring (``coordinate_utils_v3.py:264-318``);
-3. **sort-merge/shuffle equi-join** on ``cell_id`` (both sides large at
-   10^12 scale — this is the north_rule's "sort-merge for cell-cell
-   matching"); distance is plain column math (degree euclidean, exactly
-   the reference's ``distance_degrees``);
-4. window ``row_number() <= k`` per query point;
-5. points that found < k candidates retry with a doubled ring radius
-   (driver-side bounded loop + anti-join — same filter-refine escalation
-   the reference applies when a tile ring misses).
+1. TARGETS (the small side) get a ``cell_id`` and explode to their
+   density-sized k-ring of cells (Arrow UDF -> ``explode``) — the
+   reference's zone/band candidate ring (``coordinate_utils_v3.py:
+   264-318``); Chebyshev symmetry makes "target ring contains point
+   cell" equivalent to "point ring contains target cell", so the
+   exploded side stays broadcastable and the candidate join is
+   shuffle-free on the big side. Above a 2M-row guard the plan degrades
+   to a shuffle equi-join on ``cell_id`` (the north_rule's sort-merge
+   cell-cell matching) + window top-k;
+2. distance is plain column math (degree euclidean, exactly the
+   reference's ``distance_degrees``), pre-filtered to the ring's
+   guaranteed radius JVM-side;
+3. partition-local exact top-k in ONE mapInPandas pass (numpy lexsort
+   segment math), emitting the per-point completeness evidence;
+4. provably-incomplete points (ring disc did not contain their true
+   top-k) take an exact brute-force window fallback, unioned in.
 
 Correctness guarantee: a point with >= k candidates inside ring radius r
 has its true top-k complete iff the k-th distance <= r * cell_width (the
-ring covers that disc). We check that bound and escalate when violated,
-so results match brute force exactly.
+ring covers that disc). Points violating the bound go through the exact
+fallback, so results match brute force exactly.
 """
 
 from __future__ import annotations
