@@ -321,6 +321,62 @@ def simhash_pairs(
     )
 
 
+def dedup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Near-dup pairs -> (doc_id, rep_id): connected components with the
+    component's MIN id as canonical representative — the dedup endgame
+    (keep one doc per duplicate cluster).
+
+    Iterative min-label propagation as DataFrame joins: each round every
+    vertex takes min(own label, neighbors' labels); converges in
+    O(component diameter) rounds (driver loop, bounded by ``max_iters``,
+    labels localCheckpoint'ed per round so lineage stays flat). Label
+    propagation shuffles only the edge list — at 10^12 scale this is the
+    standard large-graph CC (hash-partitioned by vertex), no driver-side
+    graph materialization.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=False)
+    labels = sym.select(F.col("src").alias("id")).distinct().withColumn(
+        "rep", F.col("id")
+    ).localCheckpoint(eager=False)
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("rep").alias("nbr_rep"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("rep"), F.coalesce(F.col("nbr_rep"), F.col("rep"))
+                ).alias("rep"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.rep") != F.col("o.rep"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("rep").alias("rep_id"))
+
+
 def jaccard_topk(
     df: DataFrame, text_col: str, id_col: str, k: int = 3,
     query_mod: int = 25, shingle_k: int = 5,

@@ -933,6 +933,11 @@ SQL_TILE_DISCOVERY = r"""
 
 
 def _sql_minhash(threshold: float = 0.3) -> str:
+    ctes, final = _sql_minhash_parts(threshold)
+    return f"WITH {ctes}\n{final}"
+
+
+def _sql_minhash_parts(threshold: float = 0.3) -> tuple[str, str]:
     """Exact twin of dedup.minhash_lsh_pairs, built programmatically (it
     embeds the 64 (a, b) permutation constants): 5-byte shingle FNV ->
     64 minhashes with numpy's uint64 product/sum wraps -> FNV band fold
@@ -956,8 +961,7 @@ def _sql_minhash(threshold: float = 0.3) -> str:
     shexpr = fnv([f"unicode(t[i + {j}])::HUGEINT" for j in range(5)])
     bandexpr = fnv([f"sigs[CAST(band_idx*4 + {r} AS INT) + 1]::HUGEINT"
                     for r in range(4)])
-    return f"""
-WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+    ctes = f"""docs AS (SELECT doc_id, lower(text) AS t FROM documents),
 win AS (
   SELECT doc_id, CAST({shexpr} % 2305843009213693952 AS BIGINT) AS sh
   FROM docs, LATERAL (SELECT unnest(range(1, length(t) - 3)) AS i) w),
@@ -986,13 +990,13 @@ inter AS (
   SELECT c.id_a, c.id_b, COUNT(*) AS ni
   FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
   JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
-  GROUP BY 1, 2)
-SELECT i.id_a, i.id_b,
+  GROUP BY 1, 2)"""
+    final = f"""SELECT i.id_a, i.id_b,
        CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) AS jaccard
 FROM inter i JOIN sizes na ON na.doc_id = i.id_a
 JOIN sizes nb ON nb.doc_id = i.id_b
-WHERE CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) >= {threshold}
-"""
+WHERE CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) >= {threshold}"""
+    return ctes, final
 
 
 SQL_SIMHASH = r"""
@@ -1441,6 +1445,43 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_pairs(docs, "text", "doc_id", max_hamming=3)
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup CLUSTERING: connected components over the MinHash-LSH pair
+    graph, canonical rep = min doc id per component (iterative min-label
+    propagation — the driver-contract's 'iterative algorithm' class, yet
+    still oracled via a DuckDB recursive CTE)."""
+    from biomass_processing_pipeline_spark.operators.dedup import (
+        dedup_components, minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.3)
+    return dedup_components(pairs)
+
+
+def _sql_dedup_components() -> str:
+    """Recursive-CTE twin: min-reachable-id over the symmetrized pair
+    graph produced by the exact minhash SQL twin."""
+    ctes, final = _sql_minhash_parts()
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS MATERIALIZED (
+  {final}
+),
+sym AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+verts AS (SELECT DISTINCT src AS id FROM sym),
+reach(id, r) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT s.src, reach.r FROM sym s JOIN reach ON reach.id = s.dst
+)
+SELECT id AS doc_id, MIN(r) AS rep_id FROM reach GROUP BY id
+"""
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Rolling-hash document fingerprints (shift-robust k-min signature),
     exploded to ``(doc_id, fp_hash)`` rows so the driver canonicalizer can
@@ -1550,6 +1591,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mgrs_squares": q_mgrs_squares,
     "forest_threshold": q_forest_threshold,
     "cosine_dups": q_cosine_dups,
+    "dedup_components": q_dedup_components,
     "image_pip_county": q_image_pip_county,
     "image_zonal_stats": q_image_zonal_stats,
     "minhash_pairs": q_minhash_pairs,
@@ -1598,6 +1640,7 @@ ORACLES: dict[str, str] = {
     "mgrs_squares": _sql_mgrs(),
     "forest_threshold": SQL_FOREST_THRESHOLD,
     "cosine_dups": SQL_COSINE_DUPS,
+    "dedup_components": _sql_dedup_components(),
     "simhash_pairs": SQL_SIMHASH,
     "minhash_pairs": _sql_minhash(),
     "tile_discovery": SQL_TILE_DISCOVERY,

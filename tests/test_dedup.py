@@ -95,3 +95,21 @@ def test_minhash_hot_bucket_salting_parity(spark):
     # the chunked path is in the executed plan: chunk join key + explode
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "chunk" in plan and "explode" in plan.lower()
+
+
+def test_dedup_components_transitive(spark):
+    """Connected components over near-dup pairs: a 4-doc chain (0-1, 1-2,
+    2-3) collapses to one component with rep 0 even though 0 and 3 never
+    pair directly; disjoint pairs keep separate reps."""
+    from biomass_processing_pipeline_spark.operators.dedup import (
+        dedup_components,
+    )
+
+    pairs = spark.createDataFrame(pd.DataFrame({
+        "id_a": [0, 1, 2, 10, 20, 21],
+        "id_b": [1, 2, 3, 11, 21, 22],
+    }))
+    got = dedup_components(pairs).toPandas().set_index("doc_id")["rep_id"]
+    assert got.to_dict() == {
+        0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20,
+    }
