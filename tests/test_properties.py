@@ -187,3 +187,46 @@ def test_utm_series_roundtrip_numpy(lon, lat):
                        + 24 * bt1 * bt1) * d**5 / 120) / c1
     assert abs(math.degrees(lam_b) - lon) < 1e-7
     assert abs(math.degrees(phi_b) - lat) < 1e-7
+
+
+@given(st.integers(0, 100000), levels)
+@settings(max_examples=100, deadline=None)
+def test_batched_cover_equals_per_bbox_cover(seed, level):
+    """cover_bboxes_np (the vectorized dictionary-build path) must emit
+    exactly the same cells as per-bbox cover_bbox_np calls."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 8))
+    # span shrinks with level so covers stay small (a 5-deg bbox at level
+    # 20 would be ~10^8 cells)
+    span = 5.0 * 2.0 ** -max(0, level - 8)
+    x0 = rng.uniform(-180, 179, n)
+    y0 = rng.uniform(-90, 89, n)
+    x1 = x0 + rng.uniform(0, span, n)
+    y1 = y0 + rng.uniform(0, span, n)
+    idx, cid = cells.cover_bboxes_np(x0, y0, x1, y1, level)
+    for i in range(n):
+        got = sorted(cid[idx == i].tolist())
+        exp = sorted(int(c) for c in cells.cover_bbox_np(
+            x0[i], y0[i], x1[i], y1[i], level))
+        assert got == exp, (i, level)
+
+
+@given(st.integers(0, 100000), st.integers(4, 16))
+@settings(max_examples=100, deadline=None)
+def test_is_simple_ring_classification(seed, n):
+    """Star polygons with bounded angular gaps are always simple; rings
+    with two randomly swapped vertices usually self-intersect — and
+    whenever is_simple_ring says simple, triangulation must partition."""
+    rng = np.random.default_rng(seed)
+    xs, ys = _rand_simple_polygon(rng, n)
+    assert G.is_simple_ring(xs, ys)
+    # swap two non-adjacent vertices: classification must agree with the
+    # triangulation-area consistency signal
+    i, j = 0, n // 2
+    xs2, ys2 = xs.copy(), ys.copy()
+    xs2[[i, j]], ys2[[i, j]] = xs2[[j, i]], ys2[[j, i]]
+    v = G.make_valid_ring(xs2, ys2)
+    if v is not None and G.is_simple_ring(*v):
+        tris = G.triangulate(*v)
+        assert np.isclose(sum(G.shoelace_area(*t) for t in tris),
+                          G.shoelace_area(*v), rtol=1e-9)
