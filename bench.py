@@ -121,7 +121,9 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     # (steady-state throughput is the metric; a real cluster job runs this
     # operator thousands of times per executor lifetime)
     _pip_tile()
-    n_assigned = timed("pip_tile", _pip_tile)
+    # min-of-2 for the HEADLINE metric too: this host has multi-second
+    # steal stalls that can poison any single measurement
+    n_assigned = timed("pip_tile", _pip_tile, repeats=2)
 
     if os.environ.get("BPP_BENCH_ONLY") == "pip_tile":
         spark.stop()
@@ -143,7 +145,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
             fp, plots, ["attr_1", "attr_2"], k=50, point_key="seq"
         ).count()
 
-    timed("knn_wagg", _knn, repeats=2)
+    timed("knn_wagg", _knn, repeats=3)
 
     def _zonal():
         zones = spark.read.parquet(f"{fdir}/golden_image_county.parquet")
@@ -171,7 +173,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.3).count()
 
-    timed("minhash_dedup", _dedup)
+    timed("minhash_dedup", _dedup, repeats=2)
 
     def _sim():
         from biomass_processing_pipeline_spark.operators.similarity import (
@@ -181,7 +183,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return brute_force_topk(emb, emb.where(F.col("vec_id") % 10 == 0), k=5).count()
 
-    timed("sim_topk", _sim)
+    timed("sim_topk", _sim, repeats=2)
 
     spark.stop()
     total = round(sum(timings.values()), 3)
