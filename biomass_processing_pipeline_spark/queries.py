@@ -1512,6 +1512,52 @@ def q_image_features(spark, sf_dir):
     )
 
 
+def q_video_frames(spark, sf_dir):
+    """Multimodal video plumbing: stacked raw-codec frames -> byte-sliced
+    decode -> every-k frame sampling -> per-frame stats. Frames are
+    CONSTANT-valued ((v*7 + fi*3) % 256), so mean_lum and the grid-feature
+    sum are closed-form: feat_sum = 48 * float32(c/255) summed in double
+    exactly — the oracle replicates the float32 cast."""
+    import numpy as np
+    import pandas as pd
+
+    from biomass_processing_pipeline_spark import imaging
+    from biomass_processing_pipeline_spark.operators.multimodal import (
+        video_frame_sample,
+    )
+
+    rows = []
+    for v in range(20):
+        frames = []
+        for fi in range(6):
+            c = (v * 7 + fi * 3) % 256
+            px = np.full((8, 8, 3), c, dtype=np.uint8)
+            frames.append(imaging.encode_image(px, "raw"))
+        rows.append((f"v{v:02d}", b"".join(frames), 6, 8, 8))
+    videos = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["video_id", "bytes", "n_frames", "w", "h"])
+    )
+    out = video_frame_sample(videos, every_k=2)
+    return out.select(
+        "video_id", "frame_idx",
+        F.round("mean_lum", 6).alias("mean_lum"),
+        F.round(
+            F.aggregate("features", F.lit(0.0),
+                        lambda a, x: a + x.cast("double")), 6
+        ).alias("feat_sum"),
+    )
+
+
+SQL_VIDEO_FRAMES = """
+  SELECT format('v{:02d}', v) AS video_id,
+         CAST(fi AS INT) AS frame_idx,
+         CAST((v * 7 + fi * 3) % 256 AS DOUBLE) AS mean_lum,
+         CAST(ROUND(48 * CAST(CAST((v * 7 + fi * 3) % 256 AS DOUBLE) / 255.0
+                              AS FLOAT)::DOUBLE, 6) AS DOUBLE) AS feat_sum
+  FROM range(0, 20) t(v), (VALUES (0), (2), (4)) f(fi)
+"""
+
+
 def q_tile_discovery(spark, sf_dir):
     """S6 source discovery: distinct name-tiles + first available date per
     tile parsed from image ids (blob_manager_v3.py:1053-1118 semantics:
@@ -1592,6 +1638,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "forest_threshold": q_forest_threshold,
     "cosine_dups": q_cosine_dups,
     "dedup_components": q_dedup_components,
+    "video_frames": q_video_frames,
     "image_pip_county": q_image_pip_county,
     "image_zonal_stats": q_image_zonal_stats,
     "minhash_pairs": q_minhash_pairs,
@@ -1641,6 +1688,7 @@ ORACLES: dict[str, str] = {
     "forest_threshold": SQL_FOREST_THRESHOLD,
     "cosine_dups": SQL_COSINE_DUPS,
     "dedup_components": _sql_dedup_components(),
+    "video_frames": SQL_VIDEO_FRAMES,
     "simhash_pairs": SQL_SIMHASH,
     "minhash_pairs": _sql_minhash(),
     "tile_discovery": SQL_TILE_DISCOVERY,
