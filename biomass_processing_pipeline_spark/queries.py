@@ -1558,6 +1558,41 @@ SQL_VIDEO_FRAMES = """
 """
 
 
+def q_audio_features(spark, sf_dir):
+    """Multimodal audio plumbing with the injectable int8-PCM decoder
+    (the real codec stays a documented stub — no audio libs in this
+    container): alternating square waves make duration/rms/zero-cross
+    closed-form, and a/128 is exact in float32 so rms is bit-exact."""
+    import numpy as np
+    import pandas as pd
+
+    from biomass_processing_pipeline_spark.operators.multimodal import (
+        audio_features, fake_audio_decoder,
+    )
+
+    rows = []
+    for k in range(16):
+        n = 64 + 8 * k
+        a = (k % 5 + 1) * 10
+        wave = np.tile(np.array([a, -a], dtype=np.int8), n // 2)
+        rows.append((f"a{k:02d}", wave.tobytes()))
+    audio = spark.createDataFrame(pd.DataFrame(rows, columns=["audio_id", "bytes"]))
+    out = audio_features(audio, decoder=fake_audio_decoder)
+    return out.select(
+        "audio_id", "duration_samples",
+        F.round("rms", 6).alias("rms"), "zero_cross",
+    )
+
+
+SQL_AUDIO_FEATURES = """
+  SELECT format('a{:02d}', k) AS audio_id,
+         CAST(64 + 8 * k AS BIGINT) AS duration_samples,
+         CAST(ROUND((k % 5 + 1) * 10 / 128.0, 6) AS DOUBLE) AS rms,
+         CAST(64 + 8 * k - 1 AS BIGINT) AS zero_cross
+  FROM range(0, 16) t(k)
+"""
+
+
 def q_tile_discovery(spark, sf_dir):
     """S6 source discovery: distinct name-tiles + first available date per
     tile parsed from image ids (blob_manager_v3.py:1053-1118 semantics:
@@ -1639,6 +1674,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_dups": q_cosine_dups,
     "dedup_components": q_dedup_components,
     "video_frames": q_video_frames,
+    "audio_features": q_audio_features,
     "image_pip_county": q_image_pip_county,
     "image_zonal_stats": q_image_zonal_stats,
     "minhash_pairs": q_minhash_pairs,
@@ -1689,6 +1725,7 @@ ORACLES: dict[str, str] = {
     "cosine_dups": SQL_COSINE_DUPS,
     "dedup_components": _sql_dedup_components(),
     "video_frames": SQL_VIDEO_FRAMES,
+    "audio_features": SQL_AUDIO_FEATURES,
     "simhash_pairs": SQL_SIMHASH,
     "minhash_pairs": _sql_minhash(),
     "tile_discovery": SQL_TILE_DISCOVERY,
