@@ -31,7 +31,11 @@ _WKT_POLY_RE = re.compile(r"POLYGON\s*\(\(\s*(.*?)\s*\)\)", re.IGNORECASE | re.D
 
 # the reference's published conversion is 0.000247105 m2->acres
 # (crop_analyzer_v3.py:175 etc.); the inverse is DERIVED from it so
-# acres<->m2 round-trips are exact across the whole engine
+# acres<->m2 round-trips are exact across the whole engine. (The
+# reference ALSO uses a literal 4047 m2/acre inside its SQL min-area
+# predicate, database_manager_v3.py:187 — that filter is expressed in
+# acres directly here, so the literal never enters this engine's math;
+# documented to keep the F2 parity question settled.)
 ACRES_PER_M2 = 0.000247105
 M2_PER_ACRE = 1.0 / ACRES_PER_M2
 DEG_M = 111320.0
@@ -218,7 +222,6 @@ Ring = tuple  # (xs, ys) numpy float64 arrays, unclosed
 Geom = list   # list of polygons; polygon = [exterior_ring, hole_ring, ...]
 
 _WKT_HEAD_RE = re.compile(r"^\s*(POLYGON|MULTIPOLYGON)\s*", re.IGNORECASE)
-_RING_RE = re.compile(r"\(([^()]*)\)")
 
 
 def _parse_ring(body: str) -> Ring:
@@ -233,6 +236,32 @@ def _parse_ring(body: str) -> Ring:
     return arr[:, 0].copy(), arr[:, 1].copy()
 
 
+def _depth_groups(s: str, target: int) -> list[str]:
+    """Substrings enclosed by parens that OPEN at exactly ``target`` depth.
+
+    Paren-depth scanner (whitespace-agnostic) — regex splitting on
+    ')), ((' breaks on legal WKT with spaces between parens, silently
+    regrouping MULTIPOLYGON rings (a second exterior absorbed as a hole).
+    """
+    out: list[str] = []
+    depth = 0
+    start = 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+            if depth == target:
+                start = i + 1
+        elif ch == ")":
+            if depth == target:
+                out.append(s[start:i])
+            depth -= 1
+            if depth < 0:
+                raise ValueError(f"unbalanced parens in wkt body: {s[:60]!r}")
+    if depth != 0:
+        raise ValueError(f"unbalanced parens in wkt body: {s[:60]!r}")
+    return out
+
+
 def parse_wkt(wkt: str) -> Geom:
     """WKT POLYGON (with holes) or MULTIPOLYGON -> list of polygons, each a
     list of (xs, ys) rings with ring 0 the exterior."""
@@ -240,20 +269,22 @@ def parse_wkt(wkt: str) -> Geom:
     if not m:
         raise ValueError(f"unsupported wkt: {wkt[:60]!r}")
     body = wkt[m.end():]
-    rings = [_parse_ring(r) for r in _RING_RE.findall(body)]
-    if not rings:
-        raise ValueError(f"no rings in wkt: {wkt[:60]!r}")
     if m.group(1).upper() == "POLYGON":
+        # body = ((ring), (hole), ...): rings open at depth 2
+        rings = [_parse_ring(r) for r in _depth_groups(body, 2)]
+        if not rings:
+            raise ValueError(f"no rings in wkt: {wkt[:60]!r}")
         return [rings]
-    # MULTIPOLYGON: regroup the flat ring list into polygons by splitting
-    # the body on ')), ((' part boundaries and counting rings per part
-    parts = re.split(r"\)\s*\)\s*,\s*\(\s*\(", body.strip().strip("()"))
+    # MULTIPOLYGON body = (((ring), ...), ((ring), ...)): polygon parts
+    # open at depth 2, their rings at depth 1 within each part
     polys: Geom = []
-    idx = 0
-    for part in parts:
-        n = part.count("(") + 1  # rings in this polygon part
-        polys.append(rings[idx: idx + n])
-        idx += n
+    for part in _depth_groups(body, 2):
+        rings = [_parse_ring(r) for r in _depth_groups(part, 1)]
+        if not rings:
+            raise ValueError(f"empty polygon part in wkt: {wkt[:60]!r}")
+        polys.append(rings)
+    if not polys:
+        raise ValueError(f"no rings in wkt: {wkt[:60]!r}")
     return polys
 
 
@@ -382,8 +413,13 @@ def _ring_pair_acres(sx, sy, cx, cy) -> float:
     Convex side (either) becomes the Sutherland–Hodgman clip ring — for
     convex clip this is EXACTLY the legacy path (bit-identical areas).
     Concave×concave: the clip ring is triangulated (triangles partition it)
-    and the pieces sum; S–H on a concave subject emits zero-area bridge
-    edges whose shoelace contribution cancels, so each piece is exact.
+    and the piece deg^2 areas sum EXACTLY; the deg^2 total is converted to
+    acres ONCE with the mean latitude over all intersection vertices — the
+    single-formula conversion the reference applies to a whole shapely
+    intersection (a per-piece cos(lat) weighting would diverge ~1e-4 on
+    degree-tall concave pairs). S–H on a concave subject emits zero-area
+    bridge edges whose shoelace contribution cancels, so each piece's
+    deg^2 is exact.
     """
     sx, sy = ensure_ccw(np.asarray(sx), np.asarray(sy))
     cx, cy = ensure_ccw(np.asarray(cx), np.asarray(cy))
@@ -394,12 +430,20 @@ def _ring_pair_acres(sx, sy, cx, cy) -> float:
         pieces = [(cx, cy)]
     else:
         pieces = triangulate(cx, cy)
-    acres = 0.0
+    deg2 = 0.0
+    piece_ys: list[np.ndarray] = []
     for px_, py_ in pieces:
         ix, iy = clip_polygon_convex(sx, sy, px_, py_)
         if len(ix) >= 3:
-            acres += approx_area_acres(ix, iy)
-    return acres
+            deg2 += shoelace_area(ix, iy)
+            piece_ys.append(iy)
+    if not piece_ys:
+        return 0.0
+    # identical arithmetic to approx_area_acres so single-piece (convex
+    # clip) results stay bit-identical to the legacy path
+    lat = float(np.mean(np.concatenate(piece_ys)))
+    m2 = deg2 * DEG_M * DEG_M * np.cos(np.radians(lat))
+    return m2 * ACRES_PER_M2
 
 
 def intersection_acres(ga: Geom, gb: Geom) -> float:

@@ -331,13 +331,18 @@ def dedup_components(
     component's MIN id as canonical representative — the dedup endgame
     (keep one doc per duplicate cluster).
 
-    Iterative min-label propagation as DataFrame joins: each round every
-    vertex takes min(own label, neighbors' labels); converges in
-    O(component diameter) rounds (driver loop, bounded by ``max_iters``,
-    labels localCheckpoint'ed per round so lineage stays flat). Label
-    propagation shuffles only the edge list — at 10^12 scale this is the
-    standard large-graph CC (hash-partitioned by vertex), no driver-side
-    graph materialization.
+    Iterative min-label propagation as DataFrame joins with a
+    pointer-doubling shortcut: each round every vertex takes
+    min(own label, neighbors' labels), then labels compress one hop
+    (rep <- rep's rep — sound because rep's rep is reachable and <= rep).
+    The shortcut makes convergence O(log diameter) instead of O(diameter),
+    so ``max_iters`` rounds cover components of diameter ~2^max_iters;
+    if labels still change when the budget is exhausted the result would
+    be silently wrong, so raise instead (driver loop, labels
+    localCheckpoint'ed per round so lineage stays flat). Label propagation
+    shuffles only the edge list — at 10^12 scale this is the standard
+    large-graph CC (hash-partitioned by vertex), no driver-side graph
+    materialization.
     """
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
@@ -348,18 +353,32 @@ def dedup_components(
     labels = sym.select(F.col("src").alias("id")).distinct().withColumn(
         "rep", F.col("id")
     ).localCheckpoint(eager=False)
+    converged = False
     for _ in range(max_iters):
         nbr_min = (
             sym.join(labels, sym["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("rep").alias("nbr_rep"))
         )
-        new_labels = (
+        hop = (
             labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
             .select(
                 "id",
                 F.least(
                     F.col("rep"), F.coalesce(F.col("nbr_rep"), F.col("rep"))
+                ).alias("rep"),
+            )
+        )
+        # pointer doubling: follow rep one more hop through the label table
+        parent = hop.select(
+            F.col("id").alias("p_id"), F.col("rep").alias("p_rep")
+        )
+        new_labels = (
+            hop.join(parent, hop["rep"] == parent["p_id"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("rep"), F.coalesce(F.col("p_rep"), F.col("rep"))
                 ).alias("rep"),
             )
             .localCheckpoint(eager=False)
@@ -373,7 +392,13 @@ def dedup_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_iters} rounds "
+            "(component diameter too large); raise max_iters"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("rep").alias("rep_id"))
 
 

@@ -892,21 +892,26 @@ SQL_JACCARD_TOPK = """
 # numpy at fixture-build time — an independent implementation of what the
 # engine's broadcast-cover PIP join and Arrow decode pipeline compute).
 # all_phash_ok asserts the constant 1: any decode corruption flips the
-# Spark side to 0 and the value hash catches it.
-SQL_IMAGE_PIP = """
+# Spark side to 0 and the value hash catches it. The fixture tier is
+# TEMPLATED from sf_dir (see oracles_for) so check_oracles at any tier
+# compares against that tier's fixtures, not a hard-coded sf0.01.
+def _sql_image_pip(fdir: str) -> str:
+    return f"""
   SELECT fips, COUNT(*) AS n_images
   FROM read_parquet(
-    '/tmp/bpp_fixtures/sf0.01/golden_image_county.parquet')
+    '{fdir}/golden_image_county.parquet')
   GROUP BY fips
 """
 
-SQL_IMAGE_ZONAL = """
+
+def _sql_image_zonal(fdir: str) -> str:
+    return f"""
   WITH g AS (
     SELECT * FROM read_parquet(
-      '/tmp/bpp_fixtures/sf0.01/golden_zonal_image.parquet/*.parquet')),
+      '{fdir}/golden_zonal_image.parquet/*.parquet')),
   c AS (
     SELECT * FROM read_parquet(
-      '/tmp/bpp_fixtures/sf0.01/golden_image_county.parquet'))
+      '{fdir}/golden_image_county.parquet'))
   SELECT c.fips, COUNT(*) AS n_images,
          CAST(SUM(g.px_count) AS BIGINT) AS n_pixels,
          CAST(ROUND(SUM(g.sum_r) / SUM(g.px_count), 4) AS DOUBLE) AS mean_r,
@@ -922,12 +927,13 @@ SQL_IMAGE_ZONAL = """
 # sf0.01 and runs the Spark query (which materializes the deterministic
 # fixture cache) before its oracle, so the parquet path exists; only the
 # image_id column is read (DuckDB projection pushdown skips the blobs).
-SQL_TILE_DISCOVERY = r"""
+def _sql_tile_discovery(fdir: str) -> str:
+    return rf"""
   SELECT regexp_extract(image_id, '^(T\d\d)_', 1) AS tile_code,
-         MIN(regexp_extract(image_id, '_(\d{8})_', 1)) AS first_date,
+         MIN(regexp_extract(image_id, '_(\d{{8}})_', 1)) AS first_date,
          COUNT(DISTINCT regexp_extract(image_id, '_(B\d\d)_', 1)) AS n_bands,
          COUNT(*) AS n_images
-  FROM read_parquet('/tmp/bpp_fixtures/sf0.01/images.parquet/*.parquet')
+  FROM read_parquet('{fdir}/images.parquet/*.parquet')
   GROUP BY 1
 """
 
@@ -1686,7 +1692,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_discovery": q_tile_discovery,
 }
 
-ORACLES: dict[str, str] = {
+_STATIC_ORACLES: dict[str, str] = {
     "pricing_summary": SQL_PRICING,
     "urban_filter": SQL_URBAN,
     "minarea_filter": SQL_MINAREA,
@@ -1728,11 +1734,21 @@ ORACLES: dict[str, str] = {
     "audio_features": SQL_AUDIO_FEATURES,
     "simhash_pairs": SQL_SIMHASH,
     "minhash_pairs": _sql_minhash(),
-    "tile_discovery": SQL_TILE_DISCOVERY,
-    "image_pip_county": SQL_IMAGE_PIP,
-    "image_zonal_stats": SQL_IMAGE_ZONAL,
-    # remaining rows-only (3): sim_lsh / sim_ivf candidate sets depend on
-    # float dot-product SIGNS (summation-order-sensitive near zero — a SQL
-    # twin could silently diverge), image_features decodes zlib blobs
-    # DuckDB can't read. All three carry pytest exactness/recall tests.
 }
+
+
+def oracles_for(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    """Full oracle dict with fixture-backed twins templated for the tier
+    matching ``sf_dir`` (the driver compares at sf0.01; check_oracles.py
+    passes whatever tier it was given)."""
+    from biomass_processing_pipeline_spark import synth
+
+    fdir = synth.fixture_dir(synth.tier_for_sf_dir(sf_dir))
+    out = dict(_STATIC_ORACLES)
+    out["tile_discovery"] = _sql_tile_discovery(fdir)
+    out["image_pip_county"] = _sql_image_pip(fdir)
+    out["image_zonal_stats"] = _sql_image_zonal(fdir)
+    return out
+
+
+ORACLES: dict[str, str] = oracles_for()

@@ -343,6 +343,12 @@ def knn_bruteforce(lon: np.ndarray, lat: np.ndarray, image_ids: np.ndarray,
 # orchestration
 # ---------------------------------------------------------------------------
 
+# bump whenever generated VALUES change (e.g. the M2_PER_ACRE derivation
+# in round 2 changed parcels.area_m2): a stale cache regenerates instead
+# of silently serving old numbers
+FIXTURE_VERSION = 3
+
+
 def fixture_dir(tier: str) -> str:
     base = os.environ.get("BPP_FIXTURE_DIR", "/tmp/bpp_fixtures")
     return os.path.join(base, tier)
@@ -354,8 +360,11 @@ def ensure_fixtures(spark: SparkSession, tier: str = "sf0.001",
     cfg = TIERS[tier]
     out = fixture_dir(tier)
     done = os.path.join(out, "_DONE")
+    stamp = f"{tier}:v{FIXTURE_VERSION}"
     if os.path.exists(done) and not force:
-        return out
+        with open(done) as fh:
+            if fh.read().strip() == stamp:
+                return out
     if os.path.exists(out):
         shutil.rmtree(out)
     os.makedirs(out, exist_ok=True)
@@ -414,7 +423,7 @@ def ensure_fixtures(spark: SparkSession, tier: str = "sf0.001",
     pd_to_parquet(tiles, os.path.join(out, "tiles.parquet"))
 
     with open(done, "w") as fh:
-        fh.write(tier)
+        fh.write(stamp)
     return out
 
 

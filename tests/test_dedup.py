@@ -113,3 +113,23 @@ def test_dedup_components_transitive(spark):
     assert got.to_dict() == {
         0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20,
     }
+
+
+def test_dedup_components_long_chain_and_budget(spark):
+    """A 60-edge chain has diameter > the old 20-iteration budget; the
+    pointer-doubling shortcut must still converge (O(log d) rounds), and
+    an exhausted budget must raise, never return silently-wrong reps."""
+    import pytest
+
+    from biomass_processing_pipeline_spark.operators.dedup import (
+        dedup_components,
+    )
+
+    n = 61
+    pairs = spark.createDataFrame(pd.DataFrame({
+        "id_a": list(range(n - 1)), "id_b": list(range(1, n)),
+    }))
+    got = dedup_components(pairs, max_iters=10).toPandas()
+    assert (got["rep_id"] == 0).all() and len(got) == n
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_components(pairs, max_iters=2)

@@ -118,6 +118,33 @@ def test_buffer_ring_area_formula():
                                        - 0.04)) < 0.01
 
 
+def test_parse_wkt_whitespace_between_parens():
+    """Legal WKT may put whitespace between parens; the paren-depth
+    scanner must not regroup the second exterior as a hole of the first
+    (the round-2 regex split did exactly that)."""
+    spaced = ("MULTIPOLYGON ( ( (0 0, 1 0, 1 1, 0 1, 0 0) ), "
+              "( (2 0, 3 0, 3 1, 2 1, 2 0) ) )")
+    tight = ("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), "
+             "((2 0, 3 0, 3 1, 2 1, 2 0)))")
+    gs, gt = G.parse_wkt(spaced), G.parse_wkt(tight)
+    assert len(gs) == len(gt) == 2
+    for ps, pt in zip(gs, gt):
+        assert len(ps) == len(pt) == 1  # exteriors only, no stolen holes
+        assert np.allclose(ps[0], pt[0])
+    # holes survive spacing too
+    holed = G.parse_wkt(
+        "MULTIPOLYGON ( ( (0 0, 4 0, 4 4, 0 4, 0 0) , "
+        "(1 1, 3 1, 3 3, 1 1) ) , ( (5 0, 6 0, 6 1, 5 1, 5 0) ) )")
+    assert [len(p) for p in holed] == [2, 1]
+    assert G.intersection_acres(
+        holed, G.parse_wkt("POLYGON ((-1 -1, 7 -1, 7 5, -1 5, -1 -1))")
+    ) > 0
+    with pytest.raises(ValueError, match="unbalanced"):
+        G.parse_wkt("POLYGON ((0 0, 1 0, 1 1)")
+    with pytest.raises(ValueError, match="no rings"):
+        G.parse_wkt("POLYGON ()")
+
+
 def test_wkt_geojson_round_trips():
     for w in (DART, HOLED, MULTI):
         g = G.parse_wkt(w)

@@ -44,7 +44,11 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    from biomass_processing_pipeline_spark.queries import oracles_for
+
+    # template fixture-backed twins for THIS tier (the driver contract's
+    # oracle_sql() stays pinned to the sf0.01 tier it is compared at)
+    qs, oracles = entrymod.queries(), oracles_for(sf_dir)
     failures = 0
     for name, fn in qs.items():
         if only is not None and name not in only:
