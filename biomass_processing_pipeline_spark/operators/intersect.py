@@ -58,9 +58,55 @@ def crop_coeff_df(spark: SparkSession) -> DataFrame:
     )
 
 
+def parcel_cover_distributed(
+    parcels: DataFrame,
+    level: int = cells.DEFAULT_LEVEL,
+    key_col: str = "parcel_id",
+) -> DataFrame:
+    """Distributed piece/cover table for a FACT-SIZED polygon side.
+
+    The reference's J1 parcel side is the 150M-row fact table
+    (``optimized_county_processor_v1.py:506``) — a driver-side pandas
+    build serializes the whole job behind the driver at 100x. Here every
+    Arrow batch runs the SAME vectorized numpy cover build
+    (``pip.cover_pdf_from_geoms``: bbox-rectangle fast path, exact
+    rectilinear decomposition, batched ``cover_bboxes_np``) where the
+    data lives; the simplicity gate (``is_simple_ring``) runs inside the
+    same pass and raises loudly on self-intersecting rings (clip areas on
+    bow-ties are silently wrong — reference fix_geometry parity).
+
+    Input needs (key_col, geom_wkt); output
+    (key_col, piece, p_minx..p_maxy, is_rect, cell_id).
+    """
+    from biomass_processing_pipeline_spark.operators.pip import (
+        cover_pdf_from_geoms,
+    )
+
+    key_type = dict(parcels.dtypes)[key_col]
+    schema = (
+        f"{key_col} {key_type}, piece long, p_minx double, p_miny double, "
+        "p_maxx double, p_maxy double, is_rect boolean, cell_id long"
+    )
+    cols = [key_col, "piece", "p_minx", "p_miny", "p_maxx", "p_maxy",
+            "is_rect", "cell_id"]
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            geoms = [G.parse_wkt(w) for w in pdf["geom_wkt"]]
+            cover = cover_pdf_from_geoms(
+                list(pdf[key_col]), geoms, key_col, level,
+                with_bbox=True, validate=True,
+            )
+            yield cover[cols]
+
+    return parcels.select(key_col, "geom_wkt").mapInPandas(gen, schema=schema)
+
+
 def intersection_join(
     spark: SparkSession,
-    parcels: pd.DataFrame,
+    parcels,
     class_polys: pd.DataFrame,
     level: int = cells.DEFAULT_LEVEL,
     min_acres: float = 0.01,
@@ -71,75 +117,92 @@ def intersection_join(
     Exact intersection areas; rows below ``min_acres`` dropped (F4); urban
     codes dropped (F1).
 
+    ``parcels`` is the FACT side — a Spark DataFrame with
+    (parcel_id, fips, acres, geom_wkt) — and is processed fully
+    distributed: piece decomposition + cell cover in one mapInPandas pass
+    (:func:`parcel_cover_distributed`), attributes joined back by id. A
+    pandas DataFrame is also accepted (dictionary-sized callers, tests);
+    it is validated eagerly driver-side then run through the SAME
+    distributed pipeline. ``class_polys`` is the polygon DICTIONARY
+    (counties / CDL classes) — driver-built cover, broadcast, per
+    north_rule.
+
     method:
-      - "auto"  : native piecewise path when BOTH polygon sets are
-                  rectilinear, else the Arrow clip UDF;
-      - "native": rectilinear pieces partition each polygon, so
-                  area(A∩B) = Σ over piece pairs of rect∩rect — pure
-                  column math (greatest/least + the approx-acre formula),
-                  whole-stage codegen, no Python;
-      - "udf"   : exact clip per candidate pair in an Arrow UDF — GENERAL
-                  polygons: concave both sides (triangulated clip), holes
-                  (inclusion-exclusion), multipolygons.
+      - "auto"  : per-pair routing — rect-piece x rect-piece candidates
+                  take the native piecewise path (pure column math,
+                  whole-stage codegen), every other pair takes the Arrow
+                  clip UDF (concave, holes, multipolygons);
+      - "native": force the piecewise path (requires both sides
+                  rectilinear — exact there, silently lossy otherwise);
+      - "udf"   : force the Arrow clip UDF for all candidate pairs.
     """
     from biomass_processing_pipeline_spark.operators.pip import polygon_cover_df
 
-    # parse every WKT exactly once; the parsed geoms feed the method
-    # choice, the cover builds AND the refine broadcast
-    p_geoms = [G.parse_wkt(w) for w in parcels["geom_wkt"]]
-    c_geoms = [G.parse_wkt(w) for w in class_polys["geom_wkt"]]
-
-    # fail fast on invalid (self-intersecting) rings: clipped areas would
-    # be silently wrong. The reference gates with fix_geometry/make_valid
-    # (geometry_utils_v1.py:34-53) and skips unfixable parcels; here the
-    # dictionary is driver-side, so surface the bad key loudly instead.
-    for name, keys, geoms in (("parcel", parcels["parcel_id"], p_geoms),
-                              ("class_poly", class_polys["class_poly_id"],
-                               c_geoms)):
-        for key, g in zip(keys, geoms):
+    if isinstance(parcels, pd.DataFrame):
+        # dictionary-sized pandas callers keep the eager driver-side gate
+        # (fail at call time, not first action)
+        p_geoms = [G.parse_wkt(w) for w in parcels["geom_wkt"]]
+        for key, g in zip(parcels["parcel_id"], p_geoms):
             for poly in g:
                 for ring in poly:
                     if not G.is_simple_ring(*ring):
                         raise ValueError(
-                            f"{name} {key!r} has a self-intersecting ring; "
+                            f"parcel {key!r} has a self-intersecting ring; "
                             "run make_valid/fix upstream"
                         )
+        parcels = spark.createDataFrame(
+            parcels[["parcel_id", "fips", "acres", "geom_wkt"]]
+        )
 
-    def _simple_rectilinear(g) -> bool:
-        return (len(g) == 1 and len(g[0]) == 1
-                and G.is_rectilinear(*g[0][0]))
-
-    all_rectilinear = all(
-        _simple_rectilinear(g) for g in p_geoms + c_geoms
-    )
-    if method == "auto":
-        method = "native" if all_rectilinear else "udf"
+    c_geoms = [G.parse_wkt(w) for w in class_polys["geom_wkt"]]
+    # the class dictionary is driver-side: surface bad keys loudly here
+    # (reference gates with fix_geometry, geometry_utils_v1.py:34-53)
+    for key, g in zip(class_polys["class_poly_id"], c_geoms):
+        for poly in g:
+            for ring in poly:
+                if not G.is_simple_ring(*ring):
+                    raise ValueError(
+                        f"class_poly {key!r} has a self-intersecting ring; "
+                        "run make_valid/fix upstream"
+                    )
 
     meta = spark.createDataFrame(class_polys[["class_poly_id", "class_code"]])
-    pmeta = spark.createDataFrame(
-        pd.DataFrame({
-            "parcel_id": parcels["parcel_id"],
-            "fips": parcels["fips"],
-            "parcel_acres": parcels["acres"],
-        })
+    pmeta = parcels.select(
+        "parcel_id", "fips", F.col("acres").alias("parcel_acres")
     )
 
+    p_cover = parcel_cover_distributed(parcels, level)
+    c_cover = polygon_cover_df(spark, class_polys, "class_poly_id", level,
+                               with_bbox=True, geoms=c_geoms).select(
+        "cell_id", "class_poly_id",
+        F.col("piece").alias("c_piece"),
+        F.col("p_minx").alias("c_minx"), F.col("p_miny").alias("c_miny"),
+        F.col("p_maxx").alias("c_maxx"), F.col("p_maxy").alias("c_maxy"),
+        F.col("is_rect").alias("c_is_rect"),
+    )
+    cand = p_cover.join(F.broadcast(c_cover), "cell_id")
+
     if method == "native":
-        p_cover = polygon_cover_df(spark, parcels, "parcel_id", level,
-                                   with_bbox=True, geoms=p_geoms)
-        c_cover = polygon_cover_df(spark, class_polys, "class_poly_id", level,
-                                   with_bbox=True, geoms=c_geoms).select(
-            "cell_id", "class_poly_id",
-            F.col("piece").alias("c_piece"),
-            F.col("p_minx").alias("c_minx"), F.col("p_miny").alias("c_miny"),
-            F.col("p_maxx").alias("c_maxx"), F.col("p_maxy").alias("c_maxy"),
+        native_cand = cand
+        udf_pairs = None
+    elif method == "udf":
+        native_cand = None
+        udf_pairs = cand.select("parcel_id", "class_poly_id").distinct()
+    else:  # auto: per-pair routing on the piece flags
+        native_cand = cand.where(F.col("is_rect") & F.col("c_is_rect"))
+        udf_pairs = (
+            cand.where(~(F.col("is_rect") & F.col("c_is_rect")))
+            .select("parcel_id", "class_poly_id")
+            .distinct()
         )
-        piece_pairs = (
-            p_cover.join(c_cover, "cell_id")
-            .select("parcel_id", "piece", "p_minx", "p_miny", "p_maxx", "p_maxy",
-                    "class_poly_id", "c_piece", "c_minx", "c_miny", "c_maxx",
-                    "c_maxy")
-            .dropDuplicates(["parcel_id", "piece", "class_poly_id", "c_piece"])
+
+    parts = []
+    if native_cand is not None:
+        # rect pieces PARTITION each polygon exactly, so
+        # area(A∩B) = Σ over piece pairs of rect∩rect — pure column math,
+        # whole-stage codegen, no Python
+        piece_pairs = native_cand.dropDuplicates(
+            ["parcel_id", "piece", "class_poly_id", "c_piece"]
         )
         ix0 = F.greatest("p_minx", "c_minx")
         iy0 = F.greatest("p_miny", "c_miny")
@@ -154,47 +217,53 @@ def intersection_join(
         piecewise = piece_pairs.where((ix1 > ix0) & (iy1 > iy0)).select(
             "parcel_id", "class_poly_id", acres.alias("piece_acres")
         )
-        areas = piecewise.groupBy("parcel_id", "class_poly_id").agg(
-            F.sum("piece_acres").alias("area_acres")
+        parts.append(
+            piecewise.groupBy("parcel_id", "class_poly_id").agg(
+                F.sum("piece_acres").alias("area_acres")
+            )
         )
-    else:
-        p_cover = polygon_cover_df(spark, parcels, "parcel_id", level,
-                                   geoms=p_geoms)
-        c_cover = polygon_cover_df(spark, class_polys, "class_poly_id", level,
-                                   geoms=c_geoms)
-        pairs = (
-            p_cover.join(c_cover, "cell_id")
-            .select("parcel_id", "class_poly_id")
-            .distinct()
-        )
-        prepared_p = spark.sparkContext.broadcast(
-            dict(zip(parcels["parcel_id"], p_geoms))
-        )
+    if udf_pairs is not None:
+        # whole-geometry exact clip: the class dictionary is broadcast;
+        # the parcel WKT rides a slim id-keyed join back onto candidates
+        # (never through the cover explosion)
         prepared_c = spark.sparkContext.broadcast(
             dict(zip((int(c) for c in class_polys["class_poly_id"]), c_geoms))
         )
 
         @pandas_udf("double")
-        def _area(parcel_id: pd.Series, class_poly_id: pd.Series) -> pd.Series:
+        def _area(wkt: pd.Series, class_poly_id: pd.Series) -> pd.Series:
             # general geometry: concave either side (triangulated clip),
             # holes (inclusion-exclusion), multipolygons; convex pairs run
             # the legacy whole-ring Sutherland-Hodgman path bit-identically
             # (reference handles arbitrary PostGIS geometry via shapely,
-            # geometry_utils_v1.py:103-118)
-            out = np.zeros(len(parcel_id))
-            for i, (pid, cid) in enumerate(zip(parcel_id, class_poly_id)):
-                out[i] = G.intersection_acres(
-                    prepared_c.value[int(cid)], prepared_p.value[pid]
-                )
+            # geometry_utils_v1.py:103-118). Parcels repeat across class
+            # polys in a batch -> memoize the parse per distinct WKT.
+            memo: dict[str, list] = {}
+            out = np.zeros(len(wkt))
+            for i, (w, cid) in enumerate(zip(wkt, class_poly_id)):
+                g = memo.get(w)
+                if g is None:
+                    g = memo[w] = G.parse_wkt(w)
+                out[i] = G.intersection_acres(prepared_c.value[int(cid)], g)
             return pd.Series(out)
 
-        areas = pairs.withColumn("area_acres", _area("parcel_id", "class_poly_id"))
+        with_wkt = udf_pairs.join(
+            parcels.select("parcel_id", "geom_wkt"), "parcel_id"
+        )
+        parts.append(
+            with_wkt.select(
+                "parcel_id", "class_poly_id",
+                _area("geom_wkt", "class_poly_id").alias("area_acres"),
+            )
+        )
+
+    areas = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
 
     return (
         areas.where(F.col("area_acres") >= F.lit(min_acres))
         .join(F.broadcast(meta), "class_poly_id")
         .where(~F.col("class_code").isin(list(URBAN_CODES)))
-        .join(F.broadcast(pmeta), "parcel_id")
+        .join(pmeta, "parcel_id")
         .withColumn(
             "pct_of_parcel", F.col("area_acres") * 100.0 / F.col("parcel_acres")
         )

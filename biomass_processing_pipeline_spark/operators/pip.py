@@ -63,13 +63,41 @@ def polygon_cover_df(
     keys = list(polys[key_col])
     if geoms is None:
         geoms = [G.parse_wkt(w) for w in polys["geom_wkt"]]
+    return spark.createDataFrame(
+        cover_pdf_from_geoms(keys, geoms, key_col, level, with_bbox)
+    )
 
+
+def cover_pdf_from_geoms(
+    keys: list,
+    geoms: list,
+    key_col: str,
+    level: int = cells.DEFAULT_LEVEL,
+    with_bbox: bool = False,
+    validate: bool = False,
+) -> pd.DataFrame:
+    """Pure-pandas cover builder shared by the driver-side dictionary path
+    (:func:`polygon_cover_df`) and the DISTRIBUTED fact-side path
+    (``intersect.parcel_cover_distributed`` maps it over Arrow batches —
+    the same numpy kernels, executed where the data lives).
+
+    ``validate=True`` additionally gates every ring through
+    ``is_simple_ring`` (clip areas on self-intersecting rings are silently
+    wrong) and raises loudly, reference fix_geometry parity."""
     # one flat piece table: (key, piece_idx, bbox, is_rect)
     p_keys: list = []
     p_piece: list[int] = []
     p_bbox: list[tuple[float, float, float, float]] = []
     p_rect: list[bool] = []
     for key, geom in zip(keys, geoms):
+        if validate:
+            for poly in geom:
+                for ring in poly:
+                    if not G.is_simple_ring(*ring):
+                        raise ValueError(
+                            f"polygon {key!r} has a self-intersecting "
+                            "ring; run make_valid/fix upstream"
+                        )
         simple = len(geom) == 1 and len(geom[0]) == 1  # one part, no holes
         if with_bbox and simple and G.is_bbox_rectangle(*geom[0][0]):
             xs, ys = geom[0][0]
@@ -114,7 +142,7 @@ def polygon_cover_df(
         pdf["p_maxx"] = bb[idx, 2]
         pdf["p_maxy"] = bb[idx, 3]
         pdf["is_rect"] = np.asarray(p_rect, dtype=bool)[idx]
-    return spark.createDataFrame(pdf.drop_duplicates())
+    return pdf.drop_duplicates()
 
 
 def prepare_polygons(polys: pd.DataFrame, key_col: str) -> dict:

@@ -86,47 +86,80 @@ def cosine_dup_pairs(
     if not blocked:
         cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     else:
-        def banded(df: DataFrame, prefix: str) -> DataFrame:
-            parts = []
-            for t in range(n_tables):
-                s = _sign_sig_udf(dim, n_bits, t)
-                parts.append(df.select(
-                    F.col(id_col).alias(f"id_{prefix}"),
-                    F.col(vec_col).alias(f"v_{prefix}"),
-                    F.lit(t).alias("table"),
-                    s(F.col(vec_col)).alias("bucket"),
-                ))
-            u = parts[0]
-            for o in parts[1:]:
-                u = u.unionByName(o)
-            return u
-
-        cand = (
-            banded(emb, "a").join(banded(emb, "b"), ["table", "bucket"])
+        cand_ids = (
+            _banded_slim(emb, id_col, vec_col, "id_a", dim, n_bits, n_tables)
+            .join(_banded_slim(emb, id_col, vec_col, "id_b", dim, n_bits,
+                               n_tables),
+                  ["table", "bucket"])
             .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "v_a", "v_b")
+            .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])
         )
+        # vectors join back onto CANDIDATES only — the banded self-join
+        # above shuffles 3 longs/row, never the embeddings
+        # (dedup.minhash_lsh_pairs pattern; at 768-dim x 10^12 rows a
+        # vector-fat band shuffle would be the dominant job cost)
+        cand = cand_ids.join(a, "id_a").join(b, "id_b")
     scored = cand.withColumn("cosine", F.round(_cosine_col("v_a", "v_b"), 6))
     return scored.where(F.col("cosine") >= threshold).select(
         "id_a", "id_b", "cosine"
     )
 
 
-def _sign_sig_udf(dim: int, n_bits: int, table: int, seed: int = 42):
-    rng = np.random.default_rng(seed * 1000 + table)
-    planes = rng.standard_normal((n_bits, dim))
+# hyperplane matrices are deterministic in (seed, table) — cache per
+# executor process so repeated Arrow batches (and repeated queries in one
+# session) never regenerate them
+_PLANES_CACHE: dict[tuple, np.ndarray] = {}
 
-    @pandas_udf(T.LongType())
-    def sig(vec: pd.Series) -> pd.Series:
+
+def _all_planes(dim: int, n_bits: int, n_tables: int, seed: int) -> np.ndarray:
+    key = (dim, n_bits, n_tables, seed)
+    p = _PLANES_CACHE.get(key)
+    if p is None:
+        p = _PLANES_CACHE[key] = np.stack([
+            np.random.default_rng(seed * 1000 + t).standard_normal((n_bits, dim))
+            for t in range(n_tables)
+        ])
+    return p
+
+
+def _buckets_udf(dim: int, n_bits: int, n_tables: int, seed: int = 42):
+    """ONE Arrow pass emitting every table's bucket: array<long> indexed by
+    table (posexplode downstream). Replaces n_tables separate UDF
+    invocations (8 Arrow transfers of the corpus -> 1)."""
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vec: pd.Series) -> pd.Series:
+        planes = _all_planes(dim, n_bits, n_tables, seed)
         m = np.vstack(vec.to_numpy())
-        bits = (m @ planes.T) > 0
-        out = np.zeros(len(m), dtype=np.int64)
-        for b in range(n_bits):
-            out |= bits[:, b].astype(np.int64) << b
-        return pd.Series(out)
+        weights = np.left_shift(
+            np.ones(n_bits, dtype=np.int64), np.arange(n_bits, dtype=np.int64)
+        )
+        out = np.empty((len(m), n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            # per-table matmul keeps the float summation order identical
+            # to the legacy per-table UDF: same sign bits, same buckets
+            out[:, t] = ((m @ planes[t].T) > 0) @ weights
+        return pd.Series(list(out))
 
-    return sig
+    # deterministic in fact, but flagged nondeterministic so Catalyst's
+    # generate-pushdown (size(bks) > 0) can't DUPLICATE the Arrow eval —
+    # without this the corpus crosses into Python twice per side
+    return buckets.asNondeterministic()
+
+
+def _banded_slim(
+    df: DataFrame, id_col: str, vec_col: str, id_alias: str,
+    dim: int, n_bits: int, n_tables: int, seed: int = 42,
+) -> DataFrame:
+    """Slim banded table (id, table, bucket) — 3 longs/row into the band
+    exchange; vectors stay behind and join back by id post-candidate."""
+    b = df.select(
+        F.col(id_col).alias(id_alias),
+        _buckets_udf(dim, n_bits, n_tables, seed)(F.col(vec_col)).alias("bks"),
+    )
+    return b.select(
+        id_alias, F.posexplode("bks").alias("table", "bucket")
+    )
 
 
 def lsh_topk(
@@ -134,34 +167,25 @@ def lsh_topk(
     id_col: str = "vec_id", vec_col: str = "embedding",
     n_bits: int = 10, n_tables: int = 8, dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: random-hyperplane buckets, union over n_tables,
-    exact-cosine refine on candidates. Recall grows with n_tables."""
-    def banded(df: DataFrame, prefix: str) -> DataFrame:
-        out = []
-        for t in range(n_tables):
-            s = _sign_sig_udf(dim, n_bits, t)
-            out.append(
-                df.select(
-                    F.col(id_col).alias(f"{prefix}_id"),
-                    F.col(vec_col).alias(f"{prefix}_vec"),
-                    F.lit(t).alias("table"),
-                    s(F.col(vec_col)).alias("bucket"),
-                )
-            )
-        u = out[0]
-        for o in out[1:]:
-            u = u.unionByName(o)
-        return u
-
-    qb = banded(queries, "q")
-    tb = banded(emb, "t")
-    cand = (
-        qb.join(tb, ["table", "bucket"])
+    """Approximate top-k: random-hyperplane buckets across n_tables hash
+    tables (one signature UDF pass + posexplode), slim (id, table, bucket)
+    candidate equi-join, exact-cosine refine with vectors joined back onto
+    candidates only. Recall grows with n_tables."""
+    cand_ids = (
+        _banded_slim(queries, id_col, vec_col, "q_id", dim, n_bits, n_tables)
+        .join(_banded_slim(emb, id_col, vec_col, "t_id", dim, n_bits,
+                           n_tables),
+              ["table", "bucket"])
         .where(F.col("q_id") != F.col("t_id"))
-        .select("q_id", "t_id", "q_vec", "t_vec")
+        .select("q_id", "t_id")
         .dropDuplicates(["q_id", "t_id"])
     )
-    scored = cand.withColumn("cosine", F.round(_cosine_col("q_vec", "t_vec"), 6))
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    t = emb.select(F.col(id_col).alias("t_id"), F.col(vec_col).alias("t_vec"))
+    scored = (
+        cand_ids.join(q, "q_id").join(t, "t_id")
+        .withColumn("cosine", F.round(_cosine_col("q_vec", "t_vec"), 6))
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("t_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -51,6 +51,96 @@ def test_intersection_join_exact_vs_closed_form(spark, smoke_dir):
     assert not got.class_code.isin(URBAN_CODES).any()
 
 
+def test_intersection_join_dataframe_fact_side(spark, smoke_dir):
+    """J1 with the parcel side as a Spark DataFrame (the reference's
+    150M-row fact table shape): identical output to the pandas-input
+    path, and the physical plan shows the cover built DISTRIBUTED
+    (mapInPandas over the parquet scan, no driver-side LocalTableScan
+    of parcel covers)."""
+    parcels_pd = pd.read_parquet(f"{smoke_dir}/parcels.parquet").head(60)
+    cpolys = pd.read_parquet(f"{smoke_dir}/class_polygons.parquet")
+    parcels_df = (
+        spark.read.parquet(f"{smoke_dir}/parcels.parquet")
+        .orderBy("parcel_id").limit(60)
+        .select("parcel_id", "fips", "acres", "geom_wkt")
+    )
+    cols = ["parcel_id", "class_poly_id", "area_acres"]
+    got_df = (
+        intersection_join(spark, parcels_df, cpolys)
+        .toPandas()[cols].sort_values(cols[:2]).reset_index(drop=True)
+    )
+    got_pd = (
+        intersection_join(spark, parcels_pd, cpolys)
+        .toPandas()[cols].sort_values(cols[:2]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_df, got_pd)
+
+    from biomass_processing_pipeline_spark.operators.intersect import (
+        parcel_cover_distributed,
+    )
+
+    cover = parcel_cover_distributed(
+        spark.read.parquet(f"{smoke_dir}/parcels.parquet")
+    )
+    plan = cover._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Scan parquet" in plan  # cover is derived from the scan...
+    assert "LocalTableScan" not in plan  # ...not a driver-built table
+
+
+def test_intersection_join_df_input_validates_in_executor(spark):
+    """Self-intersecting rings on the DataFrame fact side must fail the
+    job loudly at action time (the gate runs inside the cover UDF)."""
+    import pytest as _pytest
+
+    parcels = spark.createDataFrame(pd.DataFrame([
+        {"parcel_id": "bad", "fips": "06001", "acres": 1.0,
+         "geom_wkt": "POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))"},
+    ]))
+    cpolys = pd.DataFrame([
+        {"class_poly_id": 1, "class_code": 1,
+         "geom_wkt": "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"},
+    ])
+    with _pytest.raises(Exception, match="self-intersecting"):
+        intersection_join(spark, parcels, cpolys).collect()
+
+
+def test_intersection_join_mixed_routing(spark):
+    """auto routing with a MIX of rectangular and concave parcels against
+    a mix of rectangular and concave class polys: rect x rect pairs take
+    the native piecewise path, everything else the clip UDF — results
+    match whole-geometry brute force for every pair."""
+    # small latitude extents: the native piecewise path converts deg^2 to
+    # acres per piece; whole-geometry intersection_acres converts once —
+    # the cos(lat) spread across 0.2 deg keeps them within ~1e-5 relative
+    DART = ("POLYGON ((0 0, 0.16 0, 0.16 0.16, 0.08 0.06, 0 0.16, 0 0))")
+    RECT = "POLYGON ((0.04 0.04, 0.12 0.04, 0.12 0.12, 0.04 0.12, 0.04 0.04))"
+    LSHAPE = ("POLYGON ((0.16 0, 0.28 0, 0.28 0.12, 0.24 0.12, "
+              "0.24 0.04, 0.16 0.04, 0.16 0))")
+    TRI = "POLYGON ((0 0, 0.24 0, 0.12 0.14, 0 0))"
+    BIGRECT = "POLYGON ((0 0, 0.2 0, 0.2 0.2, 0 0.2, 0 0))"
+    parcels = spark.createDataFrame(pd.DataFrame([
+        {"parcel_id": "rect", "fips": "06001", "acres": 10.0, "geom_wkt": RECT},
+        {"parcel_id": "dart", "fips": "06001", "acres": 10.0, "geom_wkt": DART},
+        {"parcel_id": "ell", "fips": "06003", "acres": 10.0, "geom_wkt": LSHAPE},
+    ]))
+    cpolys = pd.DataFrame([
+        {"class_poly_id": 1, "class_code": 1, "geom_wkt": BIGRECT},
+        {"class_poly_id": 2, "class_code": 5, "geom_wkt": TRI},
+    ])
+    got = (
+        intersection_join(spark, parcels, cpolys, min_acres=1.0)
+        .toPandas().set_index(["parcel_id", "class_poly_id"])["area_acres"]
+    )
+    for pid, w in (("rect", RECT), ("dart", DART), ("ell", LSHAPE)):
+        for cid, cw in ((1, BIGRECT), (2, TRI)):
+            exp = G.intersection_acres(G.parse_wkt(cw), G.parse_wkt(w))
+            if exp >= 1.0:
+                assert np.isclose(got.loc[(pid, cid)], exp, rtol=1e-5), (pid, cid)
+            else:
+                assert (pid, cid) not in got.index
+
+
 def test_crop_rollup_and_dominant(spark, smoke_dir):
     parcels = pd.read_parquet(f"{smoke_dir}/parcels.parquet").head(60)
     cpolys = pd.read_parquet(f"{smoke_dir}/class_polygons.parquet")

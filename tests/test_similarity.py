@@ -116,6 +116,32 @@ def test_cosine_dup_pairs_exact_and_blocked(spark):
     assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
 
 
+def test_lsh_band_join_is_slim_single_pass(spark):
+    """The 100 TB shape of the LSH joins: ONE signature Arrow pass per
+    side (not n_tables, not a Catalyst-duplicated pair), and the banded
+    candidate join carries only (id, table, bucket) — no embedding column
+    rides the band exchange."""
+    from pyspark.sql import functions as F
+
+    from biomass_processing_pipeline_spark.operators.similarity import (
+        _banded_slim, lsh_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = lsh_topk(emb, emb.where(F.col("vec_id") % 25 == 0), k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exactly one Python eval per side (query side + target side)
+    assert plan.count("ArrowEvalPython") == 2
+    assert "posexplode" in plan
+    # the slim band table is 3 columns by construction
+    banded = _banded_slim(emb, "vec_id", "embedding", "t_id", 64, 10, 8)
+    assert banded.columns == ["t_id", "table", "bucket"]
+    # and no vector column survives into the banded subtree's output
+    bplan = banded._jdf.queryExecution().executedPlan().toString()
+    top = bplan.splitlines()[1]  # root operator output after AQE wrapper
+    assert "embedding" not in top
+
+
 def test_train_centroids_partitioning_independent(spark):
     """Centroids must be identical regardless of input partitioning (the
     old limit()-based sample depended on partition scheduling)."""
