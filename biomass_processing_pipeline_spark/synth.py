@@ -141,6 +141,25 @@ def image_pixels(seq: int, w: int, h: int) -> np.ndarray:
     return px
 
 
+def grid_feat_sum(px: np.ndarray, grid: int = 4) -> float:
+    """INDEPENDENT golden twin of ``multimodal.grid_features(px).sum()``:
+    explicit per-cell loops and a strict left-fold double sum (the same
+    fold Spark's ``aggregate`` over the float32 feature array performs).
+    Block means of uint8 pixels are exact integers-over-count in float64,
+    so the truncation-to-uint8 step agrees bit-for-bit with the engine's
+    reshape/mean/astype pipeline."""
+    h, w, _ = px.shape
+    fh, fw = max(h // grid, 1), max(w // grid, 1)
+    total = 0.0
+    for gy in range(grid):
+        for gx in range(grid):
+            block = px[gy * fh:(gy + 1) * fh, gx * fw:(gx + 1) * fw]
+            for ch in range(3):
+                m = int(block[:, :, ch].mean())  # truncate == astype(uint8)
+                total += float(np.float32(m) / np.float32(255.0))
+    return total
+
+
 def zonal_partials(px: np.ndarray) -> dict:
     """Per-image zonal partial aggregates (golden for the zonal operator)."""
     f = px.astype(np.float64)
@@ -344,9 +363,9 @@ def knn_bruteforce(lon: np.ndarray, lat: np.ndarray, image_ids: np.ndarray,
 # ---------------------------------------------------------------------------
 
 # bump whenever generated VALUES change (e.g. the M2_PER_ACRE derivation
-# in round 2 changed parcels.area_m2): a stale cache regenerates instead
-# of silently serving old numbers
-FIXTURE_VERSION = 3
+# in round 2 changed parcels.area_m2; v4 added golden_image_features): a
+# stale cache regenerates instead of silently serving old numbers
+FIXTURE_VERSION = 4
 
 
 def fixture_dir(tier: str) -> str:
@@ -404,7 +423,8 @@ def ensure_fixtures(spark: SparkSession, tier: str = "sf0.001",
     images = meta_df.repartition(n_part).mapInPandas(
         _gen_bytes_batches, schema=(
             "image_id string, bytes binary, w int, h int, fmt string, "
-            "caption string, phash long, px_count long, sum_r double, sum_g double, "
+            "caption string, phash long, feat_sum double, px_count long, "
+            "sum_r double, sum_g double, "
             "sum_nir double, sumsq_r double, sumsq_g double, sumsq_nir double, "
             "ndvi_sum double, ndvi_count long, class_hist array<long>"),
     )
@@ -414,6 +434,8 @@ def ensure_fixtures(spark: SparkSession, tier: str = "sf0.001",
     images.select("image_id", "px_count", "sum_r", "sum_g", "sum_nir", "sumsq_r",
                   "sumsq_g", "sumsq_nir", "ndvi_sum", "ndvi_count", "class_hist") \
         .write.mode("overwrite").parquet(os.path.join(out, "golden_zonal_image.parquet"))
+    images.select("image_id", "feat_sum") \
+        .write.mode("overwrite").parquet(os.path.join(out, "golden_image_features.parquet"))
     images.unpersist()
 
     pd_to_parquet(counties, os.path.join(out, "counties.parquet"))
@@ -439,7 +461,8 @@ def _gen_bytes_batches(batches):
                 "image_id": t.image_id, "bytes": blob, "w": int(t.w), "h": int(t.h),
                 "fmt": t.fmt,
                 "caption": f"tile {t.image_id.split('_')[0]} band {t.band} over county {t.fips}",
-                "phash": imaging.phash64(decoded), **zp,
+                "phash": imaging.phash64(decoded),
+                "feat_sum": grid_feat_sum(decoded), **zp,
             })
         yield pd.DataFrame(rows)
 

@@ -64,9 +64,18 @@ def biomass_result_table(spark: SparkSession, fixture_dir: str,
     )
 
     # fused kNN + weighted agg: the points x k intermediate never
-    # materializes — the aggregation happens inside the top-k pandas pass
+    # materializes — the aggregation happens inside the top-k pandas pass.
+    # Plot-level forest attributes (reference FIA columns) derive
+    # deterministically from the fixture plots: stand age in years, a
+    # 4-way forest type code, and attr_3 as the per-plot harvest
+    # probability. stand_age rides the SAME fused pass as a 4th weighted
+    # attr; forest type rides it as the mode_attr (A6 weighted mode).
+    plots_f = plots.withColumn(
+        "stand_age_yrs", (20 + F.pmod(F.col("plot_cn"), F.lit(80))).cast("double")
+    ).withColumn("forest_type", F.pmod(F.col("plot_cn"), F.lit(4)).cast("int"))
     wagg = knn_weighted_agg_fused(
-        fp, plots, ["attr_1", "attr_2", "attr_3"], k=k_neighbors
+        fp, plots_f, ["attr_1", "attr_2", "attr_3", "stand_age_yrs"],
+        k=k_neighbors, mode_attr="forest_type",
     )
 
     veg = per_image.select(
@@ -97,6 +106,15 @@ def biomass_result_table(spark: SparkSession, fixture_dir: str,
                 F.col("ndvi_mean"),
             ),
         )
+        # reference forest A6 columns (forest_analyzer_v3.py:625-726):
+        # weighted stand age, weighted-mode forest type, capped weighted
+        # harvest probability (+0.1 ownership bonus, 0.95 cap)
+        .withColumn("stand_age", F.round(F.col("w_stand_age_yrs"), 6))
+        .withColumn("dominant_forest_type", F.col("mode_forest_type"))
+        .withColumn(
+            "harvest_prob",
+            F.round(F.least(F.lit(0.95), F.col("w_attr_3") + F.lit(0.1)), 6),
+        )
         # reference result-row parity (database_manager_v3.py:664-712):
         # data_sources TEXT[] + three JSON detail blobs. Sources mirror
         # _get_data_sources_used (comprehensive_biomass_processor_v3.py:499):
@@ -120,6 +138,9 @@ def biomass_result_table(spark: SparkSession, fixture_dir: str,
                 F.round("w_attr_2", 4).alias("harvestable_tpa"),
                 F.col("n_neighbors"),
                 F.round("sum_w", 6).alias("sum_w"),
+                F.col("stand_age"),
+                F.col("dominant_forest_type").alias("forest_type"),
+                F.col("harvest_prob"),
             )),
         )
         .withColumn(

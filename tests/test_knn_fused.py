@@ -26,6 +26,32 @@ def test_fused_equals_unfused(spark, smoke_dir):
     assert np.allclose(fused.w_attr_2, unfused.w_attr_2, rtol=1e-12)
 
 
+def test_fused_mode_attr_parity(spark, smoke_dir):
+    """mode_attr folds the A6 weighted mode into the fused pass via the
+    two-level (point, cat) aggregation: the mode must equal the standalone
+    weighted_mode over the unfused kNN pairs, and the weighted means must
+    be unchanged from the attrs-only fused output."""
+    from biomass_processing_pipeline_spark.operators.forest import weighted_mode
+
+    fp = with_footprint(load_images(spark, smoke_dir).select("image_id")).limit(150)
+    plots = spark.read.parquet(f"{smoke_dir}/plots.parquet").withColumn(
+        "ftype", (F.col("plot_cn") % 4).cast("int")
+    )
+    fused = knn_weighted_agg_fused(
+        fp, plots, ["attr_1"], k=10, mode_attr="ftype"
+    ).toPandas().set_index("image_id").sort_index()
+    plain = knn_weighted_agg_fused(
+        fp, plots, ["attr_1"], k=10
+    ).toPandas().set_index("image_id").sort_index()
+    ref_mode = weighted_mode(
+        knn_join(fp, plots, k=10), plots, "ftype"
+    ).toPandas().set_index("image_id").sort_index()
+    assert (fused.mode_ftype == ref_mode.dominant_type).all()
+    assert (fused.n_neighbors == plain.n_neighbors).all()
+    assert np.allclose(fused.sum_w, plain.sum_w, rtol=1e-12)
+    assert np.allclose(fused.w_attr_1, plain.w_attr_1, rtol=1e-9)
+
+
 def test_fused_shuffle_fallback_parity(spark, smoke_dir):
     """broadcast_threshold=0 forces the shuffle-join + window plan (the
     OOM guard for oversized ring tables); outputs must be identical to the

@@ -86,6 +86,25 @@ def test_centroids_deterministic(spark):
     assert np.allclose(c1, c2)
 
 
+def test_distributed_lloyd_recovers_planted_centers(spark):
+    """The Spark-side trainer (hash-fraction sample, posexplode+avg
+    update) must land centroids on well-separated planted cluster
+    centers — and do so without any full-corpus collect."""
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, 16)) * 10.0
+    rows = []
+    for i in range(400):
+        v = centers[i % 4] + 0.05 * rng.standard_normal(16)
+        rows.append((i, v.astype(np.float32).tolist()))
+    emb = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    cent = train_centroids(emb, n_centroids=4, iters=6)
+    # every planted center has a trained centroid within a fraction of the
+    # inter-center distance
+    for c in centers:
+        d = np.linalg.norm(cent - c, axis=1).min()
+        assert d < 1.0, d
+
+
 def test_cosine_dup_pairs_exact_and_blocked(spark):
     """Planted near-duplicate embeddings: the exact path finds exactly the
     planted pairs; the LSH-blocked scale path recovers them (recall 1.0 on

@@ -55,6 +55,12 @@ def test_result_table_sane_values(spark, smoke_dir):
     assert (res.standing_biomass_tons >= 0).all()
     assert ((res.confidence_score >= 0) & (res.confidence_score <= 1)).all()
     assert res.phash_ok.all()
+    # reference forest A6 columns (forest_analyzer_v3.py:625-726)
+    assert {"stand_age", "dominant_forest_type", "harvest_prob"} <= set(res.columns)
+    # stand ages derive from 20 + plot_cn % 80 -> weighted means inside
+    assert ((res.stand_age >= 20) & (res.stand_age < 100)).all()
+    assert res.dominant_forest_type.isin([0, 1, 2, 3]).all()
+    assert ((res.harvest_prob > 0.1) & (res.harvest_prob <= 0.95)).all()
 
 
 def test_result_table_json_array_parity(spark, smoke_dir):
