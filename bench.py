@@ -154,7 +154,11 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     timed("zonal", _zonal, repeats=2)
 
     def _intersect():
-        parcels = pd.read_parquet(f"{fdir}/parcels.parquet")
+        # parcel side as a Spark DataFrame: the distributed fact-side path
+        # (cover + simplicity gate in mapInPandas over the scan)
+        parcels = spark.read.parquet(f"{fdir}/parcels.parquet").select(
+            "parcel_id", "fips", "acres", "geom_wkt"
+        )
         cpolys = pd.read_parquet(f"{fdir}/class_polygons.parquet")
         inter = intersection_join(spark, parcels, cpolys)
         return parcel_crop_summary(crop_rollup(inter, crop_coeff_df(spark))).count()
@@ -391,7 +395,11 @@ Job: the north_rule spatial-join + tile-assign pipeline, end-to-end
 cell index [native columns] -> broadcast county-cover join + rectilinear
 piece refine -> lattice tile assign -> count), run at local[8] and
 local[32] (N and 4N cores standing in for N and 4N executors, BASELINE.md).
-Median of 3 warm runs per leg; fresh JVM per leg.
+Median of 3 warm runs per leg; fresh JVM per leg. **Each leg is
+CPU-PINNED** (`taskset -c 0-(N-1)`): `local[N]` only caps task slots —
+Python workers, GC and shuffle threads otherwise spill onto all 32 vCPUs
+and the "8-core" leg silently uses far more than 8 (round-2 methodology
+fix; separate cluster hosts give this isolation for free).
 
 ## Hardware calibration (this VM)
 

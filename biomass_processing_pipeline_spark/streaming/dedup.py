@@ -1,0 +1,79 @@
+"""Streaming exact deduplication (engine extension, SURVEY.md §2.8 x the
+LLM-data-pipeline dedup family): a training-data ingest stream must drop
+re-crawled / re-delivered duplicate documents ON ARRIVAL, not in a nightly
+batch pass.
+
+``dropDuplicatesWithinWatermark`` keeps the first row per content key and
+holds per-key state only until the event-time watermark passes it — the
+bounded-state streaming twin of ``dedup.exact_dedup``. At 10^12-document
+scale the state store is hash-partitioned by the dedup key across
+executors, exactly like the batch hash-partition shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DOCS_SCHEMA = "doc_id long, ts timestamp, content_hash long, text string"
+
+
+def dedup_batch_twin(docs: DataFrame) -> DataFrame:
+    """Batch ground truth: the distinct content keys (the streaming op
+    keeps first-arrival rows, so row attribution is stream-order-dependent;
+    the KEY SET and its cardinality are the invariant both must agree on).
+    """
+    return docs.select("content_hash").distinct()
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    key_cols: list[str] | None = None,
+    watermark: str = "24 hours",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Incremental exact dedup: readStream over a document directory ->
+    event-time watermark -> ``dropDuplicatesWithinWatermark`` on the
+    content key -> append-mode parquet sink. availableNow trigger so the
+    same code runs reproducibly over a static directory in tests and
+    incrementally on a live feed in production; the checkpoint carries the
+    dedup state across restarts (a re-run emits nothing new)."""
+    key_cols = key_cols or ["content_hash"]
+    chk = os.path.join(out_dir, "_chk")
+    dst = os.path.join(out_dir, "deduped")
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+    )
+    deduped = (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(key_cols)
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", dst)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.read.parquet(dst)
+
+
+def doc_stream_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document-arrival stream derived from the events
+    table: content_hash = event_id % 500 plants heavy cross-batch
+    duplication (every hash arrives many times)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        F.col("event_id").alias("doc_id"),
+        F.col("ts"),
+        F.pmod(F.col("event_id"), F.lit(500)).alias("content_hash"),
+        F.concat(F.lit("doc body "), F.col("event_id")).alias("text"),
+    )

@@ -73,10 +73,15 @@ def biomass_result_table(spark: SparkSession, fixture_dir: str,
     plots_f = plots.withColumn(
         "stand_age_yrs", (20 + F.pmod(F.col("plot_cn"), F.lit(80))).cast("double")
     ).withColumn("forest_type", F.pmod(F.col("plot_cn"), F.lit(4)).cast("int"))
+    # kNN shuffle/sort key = the compact long `seq`, not the 25-char
+    # image_id string (measured ~2-3x on the kNN stage at sf0.1 — string
+    # keys pay in every exchange, sort and pandas groupby); image_id joins
+    # back on the one-row-per-point output
     wagg = knn_weighted_agg_fused(
-        fp, plots_f, ["attr_1", "attr_2", "attr_3", "stand_age_yrs"],
-        k=k_neighbors, mode_attr="forest_type",
-    )
+        fp.drop("image_id"), plots_f,
+        ["attr_1", "attr_2", "attr_3", "stand_age_yrs"],
+        k=k_neighbors, point_key="seq", mode_attr="forest_type",
+    ).join(fp.select("image_id", "seq"), "seq").drop("seq")
 
     veg = per_image.select(
         "image_id", "phash_ok", "px_count", "ndvi_mean",

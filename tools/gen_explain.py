@@ -17,6 +17,17 @@ def plan_str(df) -> str:
     return "\n".join(lines[:40])
 
 
+def _lsh_plan(spark):
+    from pyspark.sql import functions as F
+
+    from biomass_processing_pipeline_spark.operators.similarity import (
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    return lsh_topk(emb, emb.where(F.col("vec_id") % 25 == 0), k=5)
+
+
 def main() -> None:
     import pandas as pd
     from pyspark.sql import functions as F
@@ -86,10 +97,25 @@ def main() -> None:
                          spark.read.parquet(f"{d}/golden_image_county.parquet")),
     )
     add(
-        "Intersection join (native piecewise path)",
-        "Cover equi-join + whole-stage-codegen rect intersection math; "
-        "broadcast dictionaries; no Python.",
-        intersection_join(spark, parcels, cpolys),
+        "Intersection join (distributed fact side, per-pair routing)",
+        "Parcel cover built in mapInPandas over the parquet scan (no "
+        "driver materialization); broadcast class-dictionary cover; "
+        "rect x rect piece pairs stay whole-stage-codegen, the rest "
+        "refine in the Arrow clip UDF with WKT joined back by id.",
+        intersection_join(
+            spark,
+            spark.read.parquet(f"{d}/parcels.parquet").select(
+                "parcel_id", "fips", "acres", "geom_wkt"),
+            cpolys,
+        ),
+    )
+    add(
+        "LSH similarity (slim banded candidate join)",
+        "ONE signature Arrow pass per side (posexplode over all tables); "
+        "the band join carries only (id, table, bucket); embeddings join "
+        "back onto candidates by id — no vector column in the band "
+        "exchange.",
+        _lsh_plan(spark),
     )
     add(
         "MinHash LSH (banded self-join + hot-bucket chunking)",
