@@ -1389,6 +1389,85 @@ SQL_SIM_BRUTEFORCE = """
 """
 
 
+def q_validation_flags(spark, sf_dir):
+    """Reference plausibility validators (validate_forest_analysis /
+    validate_vegetation_indices / validate_crop_analysis /
+    validate_landcover_analysis) as native column expressions: derived
+    exact-decimal metrics trip every branch; warning/error strings are
+    joined with '|' so the hash compares exact message text."""
+    from biomass_processing_pipeline_spark.operators.validation import (
+        crop_coverage_validation, forest_validation, landcover_validation,
+        vegetation_validation,
+    )
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    k = F.col("o_orderkey")
+    biomass_tpa = (k % 2300) / 10.0
+    confidence = (k % 100) / 100.0
+    area = (k % 30) / 100.0
+    ndvi = ((k % 241) - 120) / 100.0
+    px = (k % 25).cast("long")
+    coverage = (k % 1200) / 10.0
+    n_low = (k % 3).cast("long")
+    completeness = (k % 100) / 100.0
+    total_pct = (90 + (k % 21)).cast("double")
+    fv = forest_validation(biomass_tpa, confidence, area)
+    vv = vegetation_validation(ndvi, px)
+    cv = crop_coverage_validation(coverage, n_low)
+    lv = landcover_validation(completeness, total_pct)
+    return o.select(
+        k.alias("o_orderkey"),
+        F.concat_ws("|", fv["warnings"]).alias("f_warn"),
+        vv["valid"].cast("int").alias("v_valid"),
+        F.concat_ws("|", vv["errors"]).alias("v_err"),
+        F.concat_ws("|", vv["warnings"]).alias("v_warn"),
+        F.concat_ws("|", cv["warnings"]).alias("c_warn"),
+        F.concat_ws("|", lv["warnings"]).alias("l_warn"),
+    )
+
+
+SQL_VALIDATION = """
+  WITH m AS (
+    SELECT o_orderkey,
+           (o_orderkey % 2300) / 10.0 AS tpa,
+           (o_orderkey % 100) / 100.0 AS conf,
+           (o_orderkey % 30) / 100.0 AS area,
+           ((o_orderkey % 241) - 120) / 100.0 AS ndvi,
+           o_orderkey % 25 AS px,
+           (o_orderkey % 1200) / 10.0 AS cov,
+           o_orderkey % 3 AS nlow,
+           (o_orderkey % 100) / 100.0 AS compl,
+           CAST(90 + (o_orderkey % 21) AS DOUBLE) AS tot
+    FROM orders WHERE o_orderkey <= 2000)
+  SELECT o_orderkey,
+    concat_ws('|',
+      CASE WHEN tpa < 10 THEN printf('Low biomass density: %.1f tons/acre', tpa) END,
+      CASE WHEN tpa > 200 THEN printf('High biomass density: %.1f tons/acre', tpa) END,
+      CASE WHEN conf < 0.5 THEN printf('Low confidence score: %.2f', conf) END,
+      CASE WHEN area < 0.1 THEN printf('Very small forest area: %.3f acres', area) END
+    ) AS f_warn,
+    CAST(CASE WHEN ndvi BETWEEN -1.0 AND 1.0 THEN 1 ELSE 0 END AS INT) AS v_valid,
+    concat_ws('|',
+      CASE WHEN NOT (ndvi BETWEEN -1.0 AND 1.0)
+           THEN printf('NDVI %.3f outside valid range', ndvi) END
+    ) AS v_err,
+    concat_ws('|',
+      CASE WHEN ndvi BETWEEN -1.0 AND 1.0 AND ndvi < -0.5
+           THEN printf('Very low NDVI %.3f - may indicate water or bare soil', ndvi) END,
+      CASE WHEN px < 10 THEN printf('Low pixel count %d - may affect accuracy', px) END
+    ) AS v_warn,
+    concat_ws('|',
+      CASE WHEN cov > 105 THEN printf('Total crop coverage %.1f%% exceeds 100%%', cov) END,
+      CASE WHEN nlow > 0 THEN printf('%d crops with low confidence scores', nlow) END
+    ) AS c_warn,
+    concat_ws('|',
+      CASE WHEN compl < 0.8 THEN printf('Low data completeness: %.2f%%', compl * 100) END,
+      CASE WHEN abs(tot - 100) > 5 THEN printf('Land cover percentages sum to %.1f%% (expected ~100%%)', tot) END
+    ) AS l_warn
+  FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # fixture-backed queries (binary decode, LSH/IVF internals, ray-cast
 # refine): the non-SQL-expressible half is either golden-verified
@@ -1763,6 +1842,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivf": q_sim_ivf,
     "image_features": q_image_features,
     "tile_discovery": q_tile_discovery,
+    "validation_flags": q_validation_flags,
 }
 
 _STATIC_ORACLES: dict[str, str] = {
@@ -1807,6 +1887,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "audio_features": SQL_AUDIO_FEATURES,
     "simhash_pairs": SQL_SIMHASH,
     "minhash_pairs": _sql_minhash(),
+    "validation_flags": SQL_VALIDATION,
 }
 
 

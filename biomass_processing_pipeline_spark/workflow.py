@@ -29,6 +29,9 @@ from biomass_processing_pipeline_spark.operators.knn import (
 from biomass_processing_pipeline_spark.operators.pipeline import (
     build_dictionaries, county_tile_assign,
 )
+from biomass_processing_pipeline_spark.operators.validation import (
+    vegetation_validation,
+)
 from biomass_processing_pipeline_spark.operators.zonal import (
     decode_partials, shannon_index, zonal_band_stats, zonal_class_histogram,
 )
@@ -120,6 +123,18 @@ def biomass_result_table(spark: SparkSession, fixture_dir: str,
             "harvest_prob",
             F.round(F.least(F.lit(0.95), F.col("w_attr_3") + F.lit(0.1)), 6),
         )
+        # plausibility gate before persisting (the reference validates
+        # every record pre-write, vegetation_analyzer_v3.py:233-273) —
+        # native column expressions, no UDF
+        .withColumn(
+            "_vv",
+            vegetation_validation(F.col("ndvi_mean"), F.col("px_count")),
+        )
+        .withColumn("valid", F.col("_vv.valid"))
+        .withColumn(
+            "validation_warnings", F.concat_ws("|", F.col("_vv.warnings"))
+        )
+        .drop("_vv")
         # reference result-row parity (database_manager_v3.py:664-712):
         # data_sources TEXT[] + three JSON detail blobs. Sources mirror
         # _get_data_sources_used (comprehensive_biomass_processor_v3.py:499):

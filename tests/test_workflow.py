@@ -61,6 +61,13 @@ def test_result_table_sane_values(spark, smoke_dir):
     assert ((res.stand_age >= 20) & (res.stand_age < 100)).all()
     assert res.dominant_forest_type.isin([0, 1, 2, 3]).all()
     assert ((res.harvest_prob > 0.1) & (res.harvest_prob <= 0.95)).all()
+    # plausibility gate (vegetation_analyzer_v3.py:233-273): NDVI in range
+    # -> every row valid; warnings only fire on NDVI < -0.5 / px < 10
+    assert {"valid", "validation_warnings"} <= set(res.columns)
+    assert res.valid.all()
+    flagged = res.validation_warnings != ""
+    expect = (res.ndvi_mean < -0.5) | (res.px_count < 10)
+    assert (flagged == expect).all()
 
 
 def test_result_table_json_array_parity(spark, smoke_dir):
