@@ -175,3 +175,23 @@ def test_train_centroids_partitioning_independent(spark):
     c2 = train_centroids(emb.repartition(13), n_centroids=8)
     c3 = train_centroids(emb.coalesce(2), n_centroids=8)
     assert np.array_equal(c1, c2) and np.array_equal(c1, c3)
+
+
+def test_band_exchange_carries_no_vectors(spark):
+    """Scale invariant: the LSH candidate join shuffles ONLY slim
+    (id, table, bucket) rows — embeddings must never enter an Exchange
+    (at 768-dim x 10^12 rows a vector-fat band shuffle dominates the
+    job). Vectors join back by id onto candidates afterwards."""
+    from biomass_processing_pipeline_spark.operators.similarity import (
+        lsh_candidates,
+    )
+
+    emb = _emb(spark)
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    cand = lsh_candidates(emb, q, n_bits=6, n_tables=4)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "embedding" not in line, line
+    # the shuffled attributes are exactly the slim trio + ids
+    assert "embedding" not in plan.split("Exchange", 1)[1].split("\n")[0]
