@@ -77,3 +77,52 @@ def write_csv(df: DataFrame, path: str) -> None:
     """S9 CSV sink: stable column order + header, one directory of parts."""
     cols = [c for c in CSV_COLUMNS if c in df.columns]
     df.select(*cols).write.mode("overwrite").option("header", True).csv(path)
+
+
+# --- DecimalType parity shim (SURVEY §1.3) ---------------------------------
+# The reference's result table declares NUMERIC(p,s) columns
+# (database_manager_v3.py:669-695); the engine computes in DoubleType
+# (SURVEY §1.3 explicitly allows this) and this shim restores the exact
+# declared precision AT THE SINK BOUNDARY. Matching is by column name /
+# suffix, mirroring the reference's naming conventions.
+_DECIMAL_RULES: list[tuple[tuple[str, ...], tuple[int, int]]] = [
+    # exact names first, then suffix families
+    (("ndvi", "evi", "savi", "ndwi", "ndvi_mean"), (6, 4)),
+    (("confidence_score",), (4, 3)),
+    (("centroid_lon", "centroid_lat", "lon", "lat"), (12, 8)),
+]
+_DECIMAL_SUFFIX_RULES: list[tuple[str, tuple[int, int]]] = [
+    ("_tons", (12, 3)),
+    ("_acres", (10, 3)),
+    ("_percentage", (5, 2)),
+    ("_pct", (5, 2)),
+]
+
+
+def reference_decimal_schema(columns: list[str]) -> dict[str, tuple[int, int]]:
+    """column name -> (precision, scale) for every column the reference
+    declares as NUMERIC; unmatched columns are left untouched."""
+    out: dict[str, tuple[int, int]] = {}
+    for c in columns:
+        for names, ps in _DECIMAL_RULES:
+            if c in names:
+                out[c] = ps
+                break
+        else:
+            for suffix, ps in _DECIMAL_SUFFIX_RULES:
+                if c.endswith(suffix):
+                    out[c] = ps
+                    break
+    return out
+
+
+def cast_reference_decimals(df: DataFrame) -> DataFrame:
+    """Cast double columns to the reference's NUMERIC(p,s) at the sink
+    boundary (ANSI mode: an out-of-range value fails the write loudly,
+    the same contract the reference's NUMERIC columns enforce)."""
+    schema = reference_decimal_schema(df.columns)
+    return df.select(*[
+        F.col(c).cast(f"decimal({schema[c][0]},{schema[c][1]})").alias(c)
+        if c in schema else F.col(c)
+        for c in df.columns
+    ])

@@ -78,3 +78,34 @@ def test_forest_weighted_aggs(spark, smoke_dir):
         assert abs(age.loc[img, "stand_age"] - (grp.w * grp.age).sum() / grp.w.sum()) < 1e-5
         expect = min(0.95, (grp.w * grp.prob).sum() / grp.w.sum() + 0.1)
         assert abs(prob.loc[img, "harvest_prob"] - expect) < 1e-5
+
+
+def test_reference_decimal_cast_parity(spark, smoke_dir):
+    """Sink-boundary NUMERIC(p,s) shim (database_manager_v3.py:669-695):
+    every matched double lands in the reference's declared decimal type,
+    values round to the declared scale (half-up, ANSI-safe in range),
+    unmatched columns keep their engine type."""
+    import decimal
+
+    from biomass_processing_pipeline_spark.sources.sinks import (
+        cast_reference_decimals, reference_decimal_schema,
+    )
+    from biomass_processing_pipeline_spark.workflow import biomass_result_table
+
+    df = biomass_result_table(spark, smoke_dir, k_neighbors=10).limit(100)
+    out = cast_reference_decimals(df)
+    schema = reference_decimal_schema(df.columns)
+    assert {"ndvi_mean", "standing_biomass_tons", "confidence_score"} <= set(schema)
+    got = dict(out.dtypes)
+    for c, (p, s) in schema.items():
+        assert got[c] == f"decimal({p},{s})", (c, got[c])
+    # untouched columns keep engine types
+    assert got["image_id"] == dict(df.dtypes)["image_id"]
+    # value parity: decimal == double rounded at the declared scale
+    pdf = out.select("image_id", "ndvi_mean", "confidence_score").toPandas()
+    src = df.select("image_id", "ndvi_mean", "confidence_score").toPandas()
+    m = pdf.merge(src, on="image_id", suffixes=("_d", "_f"))
+    for c, s in (("ndvi_mean", 4), ("confidence_score", 3)):
+        err = (m[f"{c}_d"].astype(float) - m[f"{c}_f"]).abs()
+        assert (err <= 0.5 * 10.0 ** -s + 1e-12).all(), c
+        assert all(isinstance(v, decimal.Decimal) for v in pdf[c].head(3))
