@@ -184,9 +184,13 @@ def biomass_result_table(spark: SparkSession, fixture_dir: str,
 
 def run_county_workflow(spark: SparkSession, tier: str, out_dir: str,
                         prefix_level: int = 8,
-                        target_rows_per_task: int = 10_000) -> dict:
+                        target_rows_per_task: int = 10_000,
+                        reference_decimals: bool = False) -> dict:
     """End-to-end resumable run: results partitioned by cell prefix +
     lineage; re-invocation after a crash processes only missing buckets.
+
+    ``reference_decimals=True`` writes the reference's NUMERIC(p,s)
+    column types (sinks.cast_reference_decimals) instead of doubles.
 
     Skew handling (north_rule): a sampled census finds hot cell prefixes
     (the dense "urban" cells carry ~20% of all images); their rows get a
@@ -215,6 +219,12 @@ def run_county_workflow(spark: SparkSession, tier: str, out_dir: str,
     )
     salted = with_salt(bucketed, census, key_col="bucket", id_col="image_id")
     balanced = repartition_salted(salted, key_col="bucket").drop("salt")
+    if reference_decimals:
+        from biomass_processing_pipeline_spark.sources.sinks import (
+            cast_reference_decimals,
+        )
+
+        balanced = cast_reference_decimals(balanced)
     return run_resumable(balanced, out_dir)
 
 

@@ -99,3 +99,16 @@ def test_result_table_json_array_parity(spark, smoke_dir):
                for r in rt.itertuples(index=False))
     assert all(r.ca["standing_biomass_tons"] == r.standing_biomass_tons
                for r in rt.itertuples(index=False))
+
+
+def test_workflow_reference_decimals_write(spark, smoke_dir):
+    """reference_decimals=True persists the NUMERIC(p,s) sink schema."""
+    out = tempfile.mkdtemp(prefix="bpp_wf_dec_")
+    try:
+        run_county_workflow(spark, "sf0.001", out, reference_decimals=True)
+        got = dict(spark.read.parquet(f"{out}/data").dtypes)
+        assert got["ndvi_mean"] == "decimal(6,4)"
+        assert got["confidence_score"] == "decimal(4,3)"
+        assert got["standing_biomass_tons"] == "decimal(12,3)"
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
