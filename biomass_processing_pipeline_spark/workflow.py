@@ -218,7 +218,15 @@ def run_county_workflow(spark: SparkSession, tier: str, out_dir: str,
         key_col="bucket", target_rows_per_task=target_rows_per_task,
     )
     salted = with_salt(bucketed, census, key_col="bucket", id_col="image_id")
-    balanced = repartition_salted(salted, key_col="bucket").drop("salt")
+    # sorted-within-partition output (SURVEY §4: cell-prefix partitioning
+    # + in-file ordering replaces the reference's GiST index): image_id
+    # embeds the tile code, so sorting clusters same-tile rows per file —
+    # parquet min/max row-group pruning serves point lookups. In-task
+    # sort only, no extra shuffle.
+    balanced = (
+        repartition_salted(salted, key_col="bucket").drop("salt")
+        .sortWithinPartitions("bucket", "image_id")
+    )
     if reference_decimals:
         from biomass_processing_pipeline_spark.sources.sinks import (
             cast_reference_decimals,

@@ -112,3 +112,22 @@ def test_workflow_reference_decimals_write(spark, smoke_dir):
         assert got["standing_biomass_tons"] == "decimal(12,3)"
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_workflow_output_files_sorted_within_partition(spark, smoke_dir):
+    """SURVEY §4 index replacement: every written parquet file is sorted
+    by image_id, so min/max row-group stats prune point lookups."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = tempfile.mkdtemp(prefix="bpp_wf_sort_")
+    try:
+        run_county_workflow(spark, "sf0.001", out)
+        files = glob.glob(f"{out}/data/bucket=*/*.parquet")
+        assert files
+        for f in files:
+            ids = pq.read_table(f, columns=["image_id"])["image_id"].to_pylist()
+            assert ids == sorted(ids), f
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
