@@ -4,6 +4,9 @@ Default: run the headline suite at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON
 line ``{"metric", "value", "unit", "queries", "sf", ...}``.
 
+``--workflow``: run the flagship end-to-end resumable workflow once and
+print one JSON line (the number BENCH/COMPARISON.md cites).
+
 ``--scaling``: run the identical spatial-join + tile-assign job at
 local[8] and local[32] (N and 4N cores standing in for N and 4N executors,
 per BASELINE.md) in fresh subprocesses and write BENCH/BASELINE.md with
@@ -450,10 +453,42 @@ per-executor — at cluster scale it is amortized to nothing.
     }))
 
 
+def run_workflow(sf_dir: str, cpus: int) -> dict:
+    """Flagship END-TO-END leg: the full resumable county workflow
+    (decode + zonal + fused kNN/mode + biomass + validation gate + JSON
+    blobs + salted sorted lineage writes) against a fresh output dir.
+    One JSON line, same shape as the headline suite."""
+    import shutil
+    import tempfile
+
+    from biomass_processing_pipeline_spark.session import get_spark
+    from biomass_processing_pipeline_spark.workflow import run_county_workflow
+
+    tier = os.path.basename(sf_dir.rstrip("/"))
+    spark = get_spark(app_name="bpp_bench_wf", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    out = tempfile.mkdtemp(prefix="bpp_bench_wf_")
+    try:
+        t0 = time.time()
+        run_county_workflow(spark, tier, out)
+        dur = time.time() - t0
+        n = spark.read.parquet(f"{out}/data").count()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        spark.stop()
+    return {"metric": "workflow_end_to_end_seconds", "value": round(dur, 3),
+            "unit": "sec", "sf": tier, "cpus": cpus, "rows": n,
+            "rows_per_sec": round(n / dur, 1)}
+
+
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--scaling" in sys.argv:
         run_scaling(sf_dir)
+    elif "--workflow" in sys.argv:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        print(json.dumps(run_workflow(sf_dir, cpus)))
     elif "--degrade" in sys.argv:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         print(json.dumps(run_degrade(sf_dir, cpus)))
