@@ -247,13 +247,19 @@ def intersection_join(
                 out[i] = G.intersection_acres(prepared_c.value[int(cid)], g)
             return pd.Series(out)
 
+        # deterministic in fact, but flagged nondeterministic so Catalyst
+        # cannot push the downstream `area_acres >= min_acres` filter BELOW
+        # the projection and evaluate the clip UDF twice (two
+        # ArrowEvalPython nodes — the most expensive UDF in the J1 path at
+        # 2x cost; same guard pattern as similarity._buckets_udf)
+        _area_once = _area.asNondeterministic()
         with_wkt = udf_pairs.join(
             parcels.select("parcel_id", "geom_wkt"), "parcel_id"
         )
         parts.append(
             with_wkt.select(
                 "parcel_id", "class_poly_id",
-                _area("geom_wkt", "class_poly_id").alias("area_acres"),
+                _area_once("geom_wkt", "class_poly_id").alias("area_acres"),
             )
         )
 

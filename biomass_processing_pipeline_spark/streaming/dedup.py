@@ -62,7 +62,14 @@ def run_dedup_stream(
         .option("path", dst)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        # the availableNow query may still be writing — reading the sink
+        # now would silently return partial dedup output
+        q.stop()
+        raise TimeoutError(
+            f"dedup stream did not finish within {timeout_sec}s"
+        )
     return spark.read.parquet(dst)
 
 

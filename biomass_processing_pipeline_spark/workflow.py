@@ -43,17 +43,23 @@ from biomass_processing_pipeline_spark.sources.images import (
 
 
 def biomass_result_table(spark: SparkSession, fixture_dir: str,
-                         k_neighbors: int = 50) -> DataFrame:
+                         k_neighbors: int = 50,
+                         fp: DataFrame | None = None) -> DataFrame:
     """-> per-image result rows: county + tile assignment, band stats,
     NDVI, distance-weighted plot attributes, confidence — the engine's
     analogue of the reference's comprehensive result dict
-    (comprehensive_biomass_processor_v3.py:399-430)."""
+    (comprehensive_biomass_processor_v3.py:399-430).
+
+    ``fp``: pre-built footprint frame (with_footprint over image_id) —
+    pass it when the caller also needs footprints so the Arrow footprint
+    pass is declared once in the DAG instead of twice."""
     counties = pd.read_parquet(f"{fixture_dir}/counties.parquet")
     tiles = pd.read_parquet(f"{fixture_dir}/tiles.parquet")
     plots = spark.read.parquet(f"{fixture_dir}/plots.parquet")
     images = load_images(spark, fixture_dir)
 
-    fp = with_footprint(images.select("image_id"))
+    if fp is None:
+        fp = with_footprint(images.select("image_id"))
     dicts = build_dictionaries(spark, counties)
     assigned = county_tile_assign(spark, fp, counties, tiles, dicts=dicts)
 
@@ -202,10 +208,10 @@ def run_county_workflow(spark: SparkSession, tier: str, out_dir: str,
     )
 
     d = synth.ensure_fixtures(spark, tier)
-    result = biomass_result_table(spark, d)
     fp = with_footprint(
         load_images(spark, d).select("image_id")
     )
+    result = biomass_result_table(spark, d, fp=fp)
     bucketed = (
         result.join(fp.select("image_id", "cell_id"), "image_id")
         .transform(lambda df: with_cell_prefix(df, prefix_level=prefix_level))
