@@ -1794,6 +1794,51 @@ def _sql_ann_refine(cand_parquet: str) -> str:
 # registry
 # ---------------------------------------------------------------------------
 
+def q_upsert_semantics(spark, sf_dir):
+    """S7 upsert SEMANTICS (not just mechanics): seeded base table + a
+    conflicting batch through the partition-pruned ``upsert_parquet``
+    (bucketed keep-latest merge, only touched buckets rewritten); the
+    DuckDB twin is the equivalent anti-join + union — the reference's
+    ``INSERT ... ON CONFLICT DO UPDATE`` (database_manager_v3.py:727-732).
+    The table is written run-scoped under a fresh temp dir (no shared
+    mutable fixture state), read back without the internal bucket col."""
+    import tempfile
+
+    from biomass_processing_pipeline_spark.sources.sinks import (
+        read_upsert_parquet, upsert_parquet,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.where(F.col("o_orderkey") % 4 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice"), 2).alias("v"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    batch = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 2.0, 2).alias("v"),
+        F.lit("U").alias("status"),
+    )
+    out = tempfile.mkdtemp(prefix="bpp_upsert_q_") + "/t"
+    upsert_parquet(spark, base, out, ["k"], n_buckets=16)
+    upsert_parquet(spark, batch, out, ["k"])
+    return read_upsert_parquet(spark, out)
+
+
+SQL_UPSERT = """
+  WITH base AS (
+    SELECT o_orderkey AS k, ROUND(o_totalprice, 2) AS v,
+           o_orderstatus AS status
+    FROM orders WHERE o_orderkey % 4 != 0),
+  batch AS (
+    SELECT o_orderkey AS k, ROUND(o_totalprice * 2.0, 2) AS v,
+           'U' AS status
+    FROM orders WHERE o_orderkey % 3 = 0)
+  SELECT * FROM base WHERE k NOT IN (SELECT k FROM batch)
+  UNION ALL SELECT * FROM batch
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "urban_filter": q_urban_filter,
@@ -1843,6 +1888,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_features": q_image_features,
     "tile_discovery": q_tile_discovery,
     "validation_flags": q_validation_flags,
+    "upsert_semantics": q_upsert_semantics,
 }
 
 _STATIC_ORACLES: dict[str, str] = {
@@ -1888,6 +1934,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "simhash_pairs": SQL_SIMHASH,
     "minhash_pairs": _sql_minhash(),
     "validation_flags": SQL_VALIDATION,
+    "upsert_semantics": SQL_UPSERT,
 }
 
 

@@ -20,43 +20,113 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# Hidden hash-bucket partition column of the upsert table layout. A key
+# lives in exactly one bucket, so an upsert batch can only conflict with
+# rows inside the buckets its own keys hash to — every other partition is
+# provably untouched and its files are never read, rewritten, or moved.
+UPSERT_BUCKET_COL = "_ub"
+
+
+def _upsert_bucket(key_cols: list[str], n_buckets: int) -> F.Column:
+    return F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int")
+
+
+def read_upsert_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read an upsert table without its internal bucket column."""
+    return spark.read.parquet(path).drop(UPSERT_BUCKET_COL)
+
+
 def upsert_parquet(
     spark: SparkSession, new: DataFrame, path: str, key_cols: list[str],
+    n_buckets: int = 64,
 ) -> int:
     """Keep-latest upsert: rows in ``new`` replace same-key rows in the
     existing table; everything else is preserved. Returns row count after.
 
-    Emulates ``ON CONFLICT (keys) DO UPDATE`` / Iceberg MERGE INTO. The
-    write staged to a temp dir then moved keeps the operation atomic-ish
-    on a local FS (object stores would use the Iceberg commit protocol).
+    Emulates ``ON CONFLICT (keys) DO UPDATE`` / Iceberg MERGE INTO
+    (reference ``database_manager_v3.py:727-732``) with Iceberg-shaped
+    write amplification: the table is laid out hash-bucketed by key
+    (``_ub = pmod(xxhash64(keys), n_buckets)`` partition directories), and
+    an upsert batch rewrites ONLY the buckets its keys hash to —
+    partition pruning serves the anti-join scan, and all other buckets'
+    files stay physically untouched (same inode/mtime; tested). The old
+    full-table staged rewrite was O(table) writes per batch; this is
+    O(touched buckets), the MERGE cost shape.
+
+    Commit protocol: touched buckets are staged to a temp dir, then each
+    bucket directory is swapped in with a filesystem move — per-bucket
+    atomic on a local FS (an object store deployment would use the Iceberg
+    commit protocol instead; re-applying the same batch converges, so a
+    crash mid-swap is repaired by a retry).
+
+    Size ``n_buckets`` so one bucket ≈ a comfortable task (at 100 TB:
+    thousands of buckets); it is fixed at table creation and read back
+    from the existing layout on later batches.
     """
     import shutil
 
     from pyspark.sql import Observation
 
-    exists = os.path.exists(path)
-    if exists:
-        old = spark.read.parquet(path)
-        keep = old.join(
-            new.select(*key_cols).distinct(), key_cols, "left_anti"
-        )
-        merged = keep.unionByName(new)
-    else:
-        merged = new
-    # ONE data pass: the count rides on the staged write via observe();
-    # the staged dir then replaces the live dir with a filesystem move
-    # (merged reads from `path`, so the swap happens only after the full
-    # staged write succeeded — same ordering an Iceberg commit gives)
-    tmp = path.rstrip("/") + "._staged"
+    import json
+
     obs = Observation("upsert_rows")
-    merged.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
-        "overwrite"
-    ).parquet(tmp)
-    n = int(obs.get["n"])
-    if exists:
-        shutil.rmtree(path)
-    os.rename(tmp, path)
-    return n
+    meta_path = os.path.join(path, "_upsert_meta.json")
+    exists = os.path.exists(path)
+    if not exists:
+        first = new.withColumn(UPSERT_BUCKET_COL,
+                               _upsert_bucket(key_cols, n_buckets))
+        (
+            first.observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .partitionBy(UPSERT_BUCKET_COL).parquet(path)
+        )
+        with open(meta_path, "w") as fh:
+            json.dump({"n_buckets": n_buckets, "key_cols": key_cols}, fh)
+        return int(obs.get["n"])
+
+    old = spark.read.parquet(path)
+    if UPSERT_BUCKET_COL not in old.columns:
+        raise ValueError(
+            f"{path} is not an upsert table (missing {UPSERT_BUCKET_COL} "
+            "partition layout)"
+        )
+    # the bucket count is a property of the EXISTING layout (hashing with a
+    # different modulus would strand a key's old row in another bucket) —
+    # read it back from the table's metadata, ignoring the parameter
+    with open(meta_path) as fh:
+        n_buckets = int(json.load(fh)["n_buckets"])
+    new_b = new.withColumn(UPSERT_BUCKET_COL,
+                           _upsert_bucket(key_cols, n_buckets))
+    # the touched-bucket set is at most n_buckets values — a tiny collect
+    touched = sorted(
+        r[0] for r in new_b.select(UPSERT_BUCKET_COL).distinct().collect()
+    )
+    # partition-pruned scan: only touched bucket directories are read
+    keep = (
+        old.where(F.col(UPSERT_BUCKET_COL).isin(touched))
+        .join(new.select(*key_cols).distinct(), key_cols, "left_anti")
+    )
+    merged = keep.unionByName(new_b)
+    tmp = path.rstrip("/") + "._staged"
+    (
+        merged.observe(obs, F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite")
+        .partitionBy(UPSERT_BUCKET_COL).parquet(tmp)
+    )
+    touched_rows = int(obs.get["n"])
+    # untouched row count is parquet footer metadata, not a data pass
+    untouched_rows = old.where(
+        ~F.col(UPSERT_BUCKET_COL).isin(touched)
+    ).count()
+    for b in touched:
+        src = os.path.join(tmp, f"{UPSERT_BUCKET_COL}={b}")
+        dst = os.path.join(path, f"{UPSERT_BUCKET_COL}={b}")
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        if os.path.exists(src):  # every touched bucket has >=1 new row
+            os.rename(src, dst)
+    shutil.rmtree(tmp)
+    return touched_rows + untouched_rows
 
 
 def append_detail(df: DataFrame, path: str) -> None:

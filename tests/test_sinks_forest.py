@@ -37,6 +37,73 @@ def test_upsert_semantics(spark):
         shutil.rmtree(out.rsplit("/", 1)[0], ignore_errors=True)
 
 
+def _partition_files(root):
+    """{bucket_dir: {relpath: (inode, mtime_ns, size)}} for every _ub=* dir."""
+    import os
+
+    out = {}
+    for d in os.listdir(root):
+        if not d.startswith("_ub="):
+            continue
+        files = {}
+        for dirpath, _, names in os.walk(os.path.join(root, d)):
+            for n in names:
+                p = os.path.join(dirpath, n)
+                st = os.stat(p)
+                files[os.path.relpath(p, root)] = (
+                    st.st_ino, st.st_mtime_ns, st.st_size,
+                )
+        out[d] = files
+    return out
+
+
+def test_upsert_rewrites_only_touched_buckets(spark):
+    """Partition-pruned upsert: buckets not hit by the batch's keys keep
+    byte-identical files (same inode — never rewritten, moved, or even
+    re-opened for write)."""
+    import pyspark.sql.functions as SF
+
+    from biomass_processing_pipeline_spark.sources.sinks import (
+        UPSERT_BUCKET_COL, read_upsert_parquet,
+    )
+
+    base = tempfile.mkdtemp(prefix="bpp_upsert_prune_")
+    out = base + "/t"
+    try:
+        v1 = spark.range(0, 200).select(
+            SF.col("id").alias("k"), (SF.col("id") * 10).alias("v")
+        )
+        assert upsert_parquet(spark, v1, out, ["k"], n_buckets=16) == 200
+        before = _partition_files(out)
+        assert len(before) == 16  # all buckets materialized
+
+        v2 = spark.createDataFrame(
+            pd.DataFrame({"k": [3, 7, 500], "v": [-3, -7, -500]})
+        )
+        assert upsert_parquet(spark, v2, out, ["k"]) == 201
+        after = _partition_files(out)
+
+        touched = {
+            f"{UPSERT_BUCKET_COL}={r[0]}"
+            for r in v2.select(
+                SF.pmod(SF.xxhash64("k"), SF.lit(16)).cast("int")
+            ).distinct().collect()
+        }
+        assert 1 <= len(touched) <= 3
+        for d, files in before.items():
+            if d in touched:
+                assert after[d] != files  # rewritten
+            else:
+                assert after[d] == files, f"untouched bucket {d} was rewritten"
+
+        got = {r.k: r.v for r in read_upsert_parquet(spark, out).collect()}
+        expect = {k: k * 10 for k in range(200)}
+        expect.update({3: -3, 7: -7, 500: -500})
+        assert got == expect
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_csv_and_detail_sinks(spark, smoke_dir):
     base = tempfile.mkdtemp(prefix="bpp_sink_")
     try:
