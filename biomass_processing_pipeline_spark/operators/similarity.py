@@ -6,9 +6,10 @@
   in one Arrow UDF, equi-join on (table, bucket) across T hash tables,
   refine exact cosine on candidates only. The 10^12-scale path: candidate
   generation is an equi-join, refine touches a tiny fraction of pairs.
-- :func:`ivf_topk` — IVF: k-means-style centroids from a deterministic
-  driver-side sample, assign via Arrow UDF argmax, probe the n_probe
-  nearest centroid lists only (partition-pruned candidate scan).
+- :func:`ivf_topk` — IVF: distributed deterministic Lloyd centroids
+  (hash-fraction sample, per-partition vector-sum partials), assign via
+  Arrow UDF argmin, probe the n_probe nearest centroid lists only
+  (partition-pruned candidate scan).
 """
 
 from __future__ import annotations
@@ -249,8 +250,8 @@ def _probe_udf(centroids: np.ndarray, n_probe: int):
 
 def train_centroids(
     emb: DataFrame, n_centroids: int = 16, vec_col: str = "embedding",
-    sample_permille: int = 400, iters: int = 5, seed: int = 42,
-    id_col: str = "vec_id",
+    sample_permille: int = 100, iters: int = 5, seed: int = 42,
+    id_col: str = "vec_id", tol: float = 0.0,
 ) -> np.ndarray:
     """DISTRIBUTED, deterministic Lloyd training (Spark-side; no
     driver-resident sample matrix, no sizing ``count()`` pass).
@@ -261,12 +262,18 @@ def train_centroids(
     - init: ``n_centroids`` seed rows in (hash, id) order — a global sort
       of the tiny projected sample, deterministic across partitionings
     - per iteration: assign via the SAME argmin UDF the probe path uses
-      (centroids ride the closure/broadcast), centroid update =
-      posexplode + groupBy avg (JVM hash-agg with map-side combine);
-      only the (n_centroids x dim) means are collected. Updated
-      centroids are ROUNDED to 9 decimals so distributed float summation
-      order cannot leak into the result (partitioning-independence is
-      tested)
+      (centroids ride the closure/broadcast); the centroid update is a
+      PER-PARTITION vector-sum partial aggregation in one Arrow pass —
+      each partition emits at most ``n_centroids`` ``(list_id, n,
+      sum_vec)`` rows, so the driver receives O(partitions x centroids)
+      slim rows instead of a rows x dim element-wise shuffle (at 768-dim
+      the old posexplode update was the dominant training cost). Partials
+      are combined in sorted order and the updated centroids ROUNDED to
+      9 decimals so distributed float summation order cannot leak into
+      the result (partitioning-independence is tested)
+    - ``tol`` > 0 stops early once the max centroid movement of an
+      iteration falls below it (movement of deterministic rounded
+      centroids — the early exit is itself deterministic)
     - empty lists keep their previous centroid; a sample smaller than
       ``n_centroids`` falls back to training on the full table.
     """
@@ -293,20 +300,63 @@ def train_centroids(
             .toPandas()
         )
     cent = np.vstack(seeds[vec_col].to_numpy()).astype(np.float64)
+
+    def _partials(batches):
+        # one slim row per (partition, non-empty list): the whole
+        # partition's vectors fold into n_centroids running sums
+        sums: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            lids = pdf["list_id"].to_numpy()
+            for lid in np.unique(lids):
+                mask = lids == lid
+                s = m[mask].sum(axis=0)
+                k = int(lid)
+                if k in sums:
+                    sums[k] += s
+                    counts[k] += int(mask.sum())
+                else:
+                    sums[k] = s
+                    counts[k] = int(mask.sum())
+        if sums:
+            order = sorted(sums)
+            yield pd.DataFrame({
+                "list_id": order,
+                "n": [counts[k] for k in order],
+                "s": [sums[k] for k in order],
+            })
+
     for _ in range(iters):
-        means = (
-            train.select(
-                _assign_udf(cent)(F.col(vec_col)).alias("list_id"),
-                F.posexplode(vec_col).alias("pos", "x"),
-            )
-            .groupBy("list_id", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
-            .toPandas()
+        assigned = train.select(
+            _assign_udf(cent)(F.col(vec_col)).alias("list_id"),
+            F.col(vec_col).alias("v"),
         )
+        parts = assigned.mapInPandas(
+            _partials, schema="list_id int, n long, s array<double>"
+        ).toPandas()
         new = cent.copy()
-        for lid, sub in means.groupby("list_id"):
-            new[int(lid), sub["pos"].to_numpy()] = sub["m"].to_numpy()
-        cent = np.round(new, 9)
+        # deterministic driver combine: partials added in sorted order
+        rows = sorted(
+            ((int(r.list_id), int(r.n), np.asarray(r.s, dtype=np.float64))
+             for r in parts.itertuples(index=False)),
+            key=lambda t: (t[0], t[1], tuple(t[2])),
+        )
+        acc: dict[int, tuple[np.ndarray, int]] = {}
+        for lid, n, s in rows:
+            if lid in acc:
+                acc[lid] = (acc[lid][0] + s, acc[lid][1] + n)
+            else:
+                acc[lid] = (s, n)
+        for lid, (s, n) in acc.items():
+            new[lid] = s / n
+        new = np.round(new, 9)
+        moved = float(np.max(np.abs(new - cent))) if len(cent) else 0.0
+        cent = new
+        if tol > 0 and moved < tol:
+            break
     return cent
 
 

@@ -22,6 +22,8 @@ carries a hash-exact DuckDB twin.
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1715,14 +1717,50 @@ def q_tile_discovery(spark, sf_dir):
     )
 
 
-def _frozen_candidates(spark, cand: DataFrame, path: str) -> DataFrame:
+# bump whenever a candidate-generating algorithm changes (LSH planes,
+# IVF training) — the freeze dir is content-versioned by this constant
+ANN_FREEZE_VERSION = 2
+
+
+def _ann_freeze_dir(sf_dir: str) -> str:
+    """Frozen ANN candidate sets live in a tier-scoped SIBLING of the
+    fixture tree — never inside the _DONE-guarded dir that
+    synth.ensure_fixtures rmtree's wholesale on a version bump (a fixture
+    regeneration triggered by another query must not delete a candidate
+    set an oracle is about to read)."""
+    from biomass_processing_pipeline_spark import synth
+
+    base = os.environ.get("BPP_FIXTURE_DIR", "/tmp/bpp_fixtures")
+    tier = synth.tier_for_sf_dir(sf_dir)
+    return os.path.join(base, f"{tier}_ann_v{ANN_FREEZE_VERSION}")
+
+
+def _frozen_candidates(spark, build_cand, name: str, sf_dir: str) -> DataFrame:
     """Freeze an ANN candidate set to parquet and read it back, so the
     Spark refine and the DuckDB oracle consume the IDENTICAL pairs (the
     candidate generation is the non-SQL-expressible half — float
     dot-product sign bits / argmin lists; the exact-cosine refine + rank
-    is then verified hash-exact)."""
-    cand.write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    is then verified hash-exact).
+
+    Write-once + race-safe: deterministic input ⇒ deterministic
+    candidates, so a frozen set is served as-is; a miss builds into a
+    pid-scoped temp dir and atomically renames it in — a concurrent run
+    that loses the rename discards its (identical) copy. No reader can
+    observe a half-written set."""
+    import shutil
+
+    final = os.path.join(_ann_freeze_dir(sf_dir), name)
+    marker = os.path.join(final, "_FROZEN")
+    if os.path.exists(marker):
+        return spark.read.parquet(final)
+    tmp = f"{final}.__tmp{os.getpid()}"
+    build_cand().write.mode("overwrite").parquet(tmp)
+    open(os.path.join(tmp, "_FROZEN"), "w").close()
+    try:
+        os.rename(tmp, final)
+    except OSError:  # lost the race — an identical frozen set exists
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(final)
 
 
 def q_sim_ivf(spark, sf_dir):
@@ -1730,18 +1768,19 @@ def q_sim_ivf(spark, sf_dir):
     candidate pruning via the list equi-join. The (q_id, t_id) candidate
     set is frozen to a fixture parquet; the exact-cosine top-k refine is
     DuckDB-oracled over the same frozen set."""
-    from biomass_processing_pipeline_spark import synth
     from biomass_processing_pipeline_spark.operators.similarity import (
         cosine_refine_topk, ivf_candidates, train_centroids,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") % 25 == 0)
-    cent = train_centroids(emb, n_centroids=16)
-    fdir = synth.fixture_dir(synth.tier_for_sf_dir(sf_dir))
+    # lazy build: a frozen-set cache hit skips Lloyd training entirely
     frozen = _frozen_candidates(
-        spark, ivf_candidates(emb, q, cent, n_probe=4),
-        f"{fdir}/ivf_candidates.parquet",
+        spark,
+        lambda: ivf_candidates(
+            emb, q, train_centroids(emb, n_centroids=16), n_probe=4
+        ),
+        "ivf_candidates.parquet", sf_dir,
     )
     return cosine_refine_topk(frozen, emb, q, k=5)
 
@@ -1750,16 +1789,15 @@ def q_sim_lsh(spark, sf_dir):
     """Random-hyperplane LSH ANN: slim banded candidate join, frozen
     candidate set, DuckDB-oracled exact-cosine top-k refine (recall is
     additionally pytest-tested on planted clusters)."""
-    from biomass_processing_pipeline_spark import synth
     from biomass_processing_pipeline_spark.operators.similarity import (
         cosine_refine_topk, lsh_candidates,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") % 25 == 0)
-    fdir = synth.fixture_dir(synth.tier_for_sf_dir(sf_dir))
     frozen = _frozen_candidates(
-        spark, lsh_candidates(emb, q), f"{fdir}/lsh_candidates.parquet",
+        spark, lambda: lsh_candidates(emb, q),
+        "lsh_candidates.parquet", sf_dir,
     )
     return cosine_refine_topk(frozen, emb, q, k=5)
 
@@ -1950,8 +1988,9 @@ def oracles_for(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     out["image_pip_county"] = _sql_image_pip(fdir)
     out["image_zonal_stats"] = _sql_image_zonal(fdir)
     out["image_features"] = _sql_image_features(fdir)
-    out["sim_lsh"] = _sql_ann_refine(f"{fdir}/lsh_candidates.parquet")
-    out["sim_ivf"] = _sql_ann_refine(f"{fdir}/ivf_candidates.parquet")
+    adir = _ann_freeze_dir(sf_dir)
+    out["sim_lsh"] = _sql_ann_refine(f"{adir}/lsh_candidates.parquet")
+    out["sim_ivf"] = _sql_ann_refine(f"{adir}/ivf_candidates.parquet")
     return out
 
 
