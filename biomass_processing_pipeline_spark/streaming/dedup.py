@@ -35,6 +35,7 @@ def run_dedup_stream(
     key_cols: list[str] | None = None,
     watermark: str = "24 hours",
     timeout_sec: int = 300,
+    max_files_per_trigger: int = 2,
 ) -> DataFrame:
     """Incremental exact dedup: readStream over a document directory ->
     event-time watermark -> ``dropDuplicatesWithinWatermark`` on the
@@ -47,7 +48,7 @@ def run_dedup_stream(
     dst = os.path.join(out_dir, "deduped")
     stream = (
         spark.readStream.schema(DOCS_SCHEMA)
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(src_dir)
     )
     deduped = (

@@ -89,3 +89,48 @@ def test_skew_census_finds_urban_cells(spark, smoke_dir):
     # salting must not change row count
     assert salted.count() == df.count()
     assert repartition_salted(salted, 8).count() == df.count()
+
+
+def test_salting_balances_adversarial_90pct_hot_key(spark):
+    """Adversarial skew (worse than the synth ~20%-urban distribution):
+    90% of all rows land on ONE cell prefix. The census must trip, split
+    the hot bucket across S salt groups sized ~target, and the salted
+    repartition must produce balanced tasks — unsalted, one task would
+    carry 90% of the table (the reference's static VM assignment has no
+    answer to this, multi_vm_coordinator.py:28-39)."""
+    n = 50_000
+    target = 75
+    df = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7))
+        .otherwise(F.pmod(F.col("id"), F.lit(64)) + 100)
+        .alias("bucket"),
+        F.concat(F.lit("img_"), F.col("id")).alias("image_id"),
+    )
+    census = skew_census(
+        df, key_col="bucket", sample_frac=0.2, target_rows_per_task=target
+    )
+    # the census trips on the hot bucket and prescribes a real split
+    assert 7 in census and census[7] >= 2
+    hot_s = census[7]
+    assert hot_s >= int(0.8 * (0.9 * n) / target)  # ~est/target splits
+
+    salted = with_salt(df, census, key_col="bucket", id_col="image_id")
+    assert salted.count() == n
+    # the hot bucket is spread across all S salt groups, each ~target-sized
+    hot_groups = (
+        salted.where(F.col("bucket") == 7)
+        .groupBy("salt").count().toPandas()["count"]
+    )
+    assert len(hot_groups) == hot_s
+    assert hot_groups.max() <= 3 * target
+
+    # task-level balance after the salted repartition
+    per_task = (
+        repartition_salted(salted, 32, key_col="bucket")
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").count().toPandas()["count"]
+    )
+    med = per_task.median()
+    assert per_task.max() < 2 * med, (
+        f"task spread {per_task.max()} >= 2x median {med}"
+    )

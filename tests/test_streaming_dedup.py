@@ -42,3 +42,67 @@ def test_streaming_dedup_matches_batch_distinct(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_streaming_dedup_keeps_first_arrival_rows_exactly(spark):
+    """FULL-ROW parity, not just the key set: with one file per trigger
+    and at most one row per key inside each file, first-arrival
+    attribution is deterministic — the surviving row for every key must
+    be the one from the earliest file that carries that key."""
+    import datetime
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tempfile.mkdtemp(prefix="bpp_sd_rows_src_")
+    out = tempfile.mkdtemp(prefix="bpp_sd_rows_out_")
+    try:
+        base_ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+        file_keys = [
+            range(0, 6),    # file 0 introduces keys 0-5
+            range(3, 9),    # 3-5 are dups, 6-8 new
+            range(6, 12),   # 6-8 dups, 9-11 new
+            range(0, 12),   # all dups
+        ]
+        schema = pa.schema([
+            ("doc_id", pa.int64()), ("ts", pa.timestamp("us")),
+            ("content_hash", pa.int64()), ("text", pa.string()),
+        ])
+        for i, keys in enumerate(file_keys):
+            pdf = pd.DataFrame({
+                "doc_id": [1000 * i + k for k in keys],
+                "ts": [base_ts + datetime.timedelta(minutes=i)] * len(keys),
+                "content_hash": list(keys),
+                "text": [f"f{i}-k{k}" for k in keys],
+            })
+            p = os.path.join(src, f"{i}.parquet")
+            pq.write_table(
+                pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), p
+            )
+            # FileStreamSource orders by mtime: pin an increasing sequence
+            os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+        got = run_dedup_stream(
+            spark, src, out, watermark="100000 hours",
+            max_files_per_trigger=1,
+        ).toPandas().sort_values("content_hash").reset_index(drop=True)
+
+        first_file = {}
+        for i, keys in enumerate(file_keys):
+            for k in keys:
+                first_file.setdefault(k, i)
+        exp = pd.DataFrame({
+            "doc_id": [1000 * first_file[k] + k for k in sorted(first_file)],
+            "ts": [base_ts + datetime.timedelta(minutes=first_file[k])
+                   for k in sorted(first_file)],
+            "content_hash": sorted(first_file),
+            "text": [f"f{first_file[k]}-k{k}" for k in sorted(first_file)],
+        })
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "ts", "content_hash", "text"]], exp,
+            check_dtype=False,
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)

@@ -102,16 +102,46 @@ def test_result_table_json_array_parity(spark, smoke_dir):
 
 
 def test_workflow_reference_decimals_write(spark, smoke_dir):
-    """reference_decimals=True persists the NUMERIC(p,s) sink schema."""
+    """Decimal-mode FLAGSHIP leg: reference_decimals=True persists the
+    exact NUMERIC(p,s) sink schema (ANSI cast = loud on overflow) AND the
+    written values agree with the double-mode run at each column's scale
+    — the reference-parity sink exercised end-to-end, not just
+    unit-tested."""
+    from pyspark.sql import functions as F
+
     out = tempfile.mkdtemp(prefix="bpp_wf_dec_")
+    out_d = tempfile.mkdtemp(prefix="bpp_wf_dbl_")
     try:
         run_county_workflow(spark, "sf0.001", out, reference_decimals=True)
-        got = dict(spark.read.parquet(f"{out}/data").dtypes)
+        dec = spark.read.parquet(f"{out}/data")
+        got = dict(dec.dtypes)
         assert got["ndvi_mean"] == "decimal(6,4)"
         assert got["confidence_score"] == "decimal(4,3)"
         assert got["standing_biomass_tons"] == "decimal(12,3)"
+        assert got["harvestable_tons"] == "decimal(12,3)"
+
+        run_county_workflow(spark, "sf0.001", out_d)
+        dbl = spark.read.parquet(f"{out_d}/data")
+        assert dec.count() == dbl.count() == 2000
+
+        scales = {"ndvi_mean": 4, "confidence_score": 3,
+                  "standing_biomass_tons": 3, "harvestable_tons": 3}
+        j = dec.select(
+            "image_id", *[F.col(c).cast("double").alias(f"d_{c}")
+                          for c in scales]
+        ).join(
+            dbl.select("image_id", *scales), "image_id", "inner"
+        )
+        assert j.count() == 2000  # identical key sets
+        diffs = j.select(*[
+            F.max(F.abs(F.col(f"d_{c}") - F.round(F.col(c), s))).alias(c)
+            for c, s in scales.items()
+        ]).first()
+        for c in scales:
+            assert diffs[c] < 1e-9, (c, diffs[c])
     finally:
         shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(out_d, ignore_errors=True)
 
 
 def test_workflow_output_files_sorted_within_partition(spark, smoke_dir):
