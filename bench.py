@@ -12,6 +12,10 @@ local[8] and local[32] (N and 4N cores standing in for N and 4N executors,
 per BASELINE.md) in fresh subprocesses and write BENCH/BASELINE.md with
 throughput at both plus scaling efficiency.
 
+``--sf1``: the 10x-the-driver-tier leg — fixture-based headline queries,
+minhash dedup over a 10x sharded corpus, and the full workflow at sf1
+(2M images); reports per-query seconds + the JVM's peak RSS.
+
 Headline queries:
 
 - ``pip_tile``   : the north_rule job — footprint decode -> Morton cell ->
@@ -306,6 +310,180 @@ def run_degrade(sf_dir: str, cpus: int) -> dict:
     }
 
 
+def _jvm_peak_rss_gb() -> float | None:
+    """VmHWM of the session's JVM (the java child of this driver): the
+    peak-memory number the sf1 headroom note reports."""
+    import glob as _glob
+
+    me = os.getpid()
+    for stat in _glob.glob("/proc/[0-9]*/stat"):
+        try:
+            parts = open(stat).read().split()
+            if parts[1] == "(java)" and int(parts[3]) == me:
+                for line in open(stat.replace("/stat", "/status")):
+                    if line.startswith("VmHWM"):
+                        return round(int(line.split()[1]) / 1024 / 1024, 2)
+        except (OSError, IndexError, ValueError):
+            continue
+    return None
+
+
+def _docs_x10(spark, sf_dir: str):
+    """Deterministic 10x document corpus: ten shards of the sf0.1 corpus,
+    each Caesar-translated by its shard index. translate() is a bijection
+    on the alphabet, so WITHIN a shard every shingle-set relation (and so
+    every Jaccard value and the bucket skew profile) is preserved
+    exactly, while shards share essentially no shingles — the corpus is
+    10x the docs with the same per-shard duplicate structure, which is
+    what a 10x crawl looks like (new content, same dup rate)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    shards = []
+    for i in range(10):
+        rot = alpha[i:] + alpha[:i]
+        shards.append(docs.select(
+            (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+            F.translate(F.lower("text"), alpha, rot).alias("text"),
+        ))
+    out = shards[0]
+    for s in shards[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def run_sf1(cpus: int) -> dict:
+    """10x-the-driver-tier leg (VERDICT r3 #4): the fixture-based headline
+    queries + the minhash dedup + the FULL workflow at sf1 (2M images,
+    100k plots, 200k parcels, 50k docs) — the best local proxy for the
+    100x memory-headroom / spill question. Fixture generation is timed
+    separately and excluded from the metric. Reports the JVM's peak RSS.
+    """
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from biomass_processing_pipeline_spark import synth
+    from biomass_processing_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from biomass_processing_pipeline_spark.operators.intersect import (
+        crop_coeff_df, crop_rollup, intersection_join, parcel_crop_summary,
+    )
+    from biomass_processing_pipeline_spark.operators.knn import (
+        knn_weighted_agg_fused,
+    )
+    from biomass_processing_pipeline_spark.operators.pipeline import (
+        build_dictionaries, county_tile_assign,
+    )
+    from biomass_processing_pipeline_spark.operators.zonal import (
+        decode_partials, zonal_band_stats,
+    )
+    from biomass_processing_pipeline_spark.session import get_spark
+    from biomass_processing_pipeline_spark.sources.images import (
+        load_images, with_footprint,
+    )
+    from biomass_processing_pipeline_spark.workflow import run_county_workflow
+
+    spark = get_spark(
+        app_name="bpp_bench_sf1", master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 64),  # 2x task headroom at 10x rows
+    )
+    t0 = time.time()
+    fdir = synth.ensure_fixtures(spark, "sf1")
+    gen_sec = round(time.time() - t0, 1)
+
+    counties = pd.read_parquet(f"{fdir}/counties.parquet")
+    tiles = pd.read_parquet(f"{fdir}/tiles.parquet")
+    images = load_images(spark, fdir)
+    n_images = images.count()
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn, repeats: int = 1):
+        best, out = None, None
+        for _ in range(repeats):
+            t1 = time.time()
+            out = fn()
+            dt = time.time() - t1
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        return out
+
+    dicts = build_dictionaries(spark, counties)
+
+    def _pip_tile():
+        fp = with_footprint(images.select("image_id"))
+        return county_tile_assign(
+            spark, fp, counties, tiles, point_key="seq", dicts=dicts
+        ).count()
+
+    _pip_tile()  # warm-up (codegen + python workers), as in run_suite
+    n_assigned = timed("pip_tile", _pip_tile, repeats=2)
+
+    def _knn():
+        fp = with_footprint(images.select("image_id")).drop("image_id")
+        plots = spark.read.parquet(f"{fdir}/plots.parquet")
+        return knn_weighted_agg_fused(
+            fp, plots, ["attr_1", "attr_2"], k=50, point_key="seq"
+        ).count()
+
+    timed("knn_wagg", _knn)
+
+    def _zonal():
+        zones = spark.read.parquet(f"{fdir}/golden_image_county.parquet")
+        return zonal_band_stats(decode_partials(images), zones).count()
+
+    timed("zonal", _zonal)
+
+    def _intersect():
+        parcels = spark.read.parquet(f"{fdir}/parcels.parquet").select(
+            "parcel_id", "fips", "acres", "geom_wkt"
+        )
+        cpolys = pd.read_parquet(f"{fdir}/class_polygons.parquet")
+        inter = intersection_join(spark, parcels, cpolys)
+        return parcel_crop_summary(
+            crop_rollup(inter, crop_coeff_df(spark))
+        ).count()
+
+    timed("intersect", _intersect)
+
+    sf01 = "/root/testdata/sf0.1"
+    docs10 = _docs_x10(spark, sf01)
+
+    def _dedup():
+        return minhash_lsh_pairs(docs10, "text", "doc_id",
+                                 threshold=0.3).count()
+
+    n_pairs = timed("minhash_dedup_x10", _dedup)
+
+    wf_out = tempfile.mkdtemp(prefix="bpp_sf1_wf_")
+    try:
+        n_wf = timed(
+            "workflow", lambda: run_county_workflow(spark, "sf1", wf_out)
+        )["buckets"]
+        wf_rows = spark.read.parquet(f"{wf_out}/data").count()
+    finally:
+        shutil.rmtree(wf_out, ignore_errors=True)
+
+    peak = _jvm_peak_rss_gb()
+    spark.stop()
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "sf1_suite_seconds", "value": total, "unit": "sec",
+        "queries": timings, "sf": 1.0, "cpus": cpus,
+        "n_images": n_images, "n_assigned": n_assigned,
+        "minhash_pairs": n_pairs, "workflow_rows": wf_rows,
+        "workflow_buckets": n_wf, "fixture_gen_sec": gen_sec,
+        "jvm_peak_rss_gb": peak,
+        "images_per_sec_pip_tile": round(n_images / timings["pip_tile"], 1),
+    }
+
+
 def _calibration_burn(_):
     t0 = time.time()
     x = 0
@@ -432,8 +610,11 @@ scenario).
 | 8 | {n_strong // 4:,} | {weak8:.2f} | {tput8:,.0f} |
 | 32 | {n_strong:,} | {strong32:.2f} | {tput32:,.0f} |
 
-weak-scaling efficiency (t_8 / t_32) = **{weak_eff}** (criterion >= 0.8:
-{"PASS" if weak_eff >= 0.8 else "measured " + str(weak_eff) + ", see ceiling"})
+weak-scaling efficiency (t_8 / t_32) = **{weak_eff}** raw; super-linear
+values are CLAMPED at 1.0 for the criterion (startup-amortization
+favoring the big leg is an artifact, not engine scaling):
+**{min(weak_eff, 1.0)}** (criterion >= 0.8:
+{"PASS" if min(weak_eff, 1.0) >= 0.8 else "measured " + str(weak_eff) + ", see ceiling"})
 
 ## Why the map-only plan scales
 
@@ -492,6 +673,9 @@ if __name__ == "__main__":
     elif "--degrade" in sys.argv:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         print(json.dumps(run_degrade(sf_dir, cpus)))
+    elif "--sf1" in sys.argv:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        print(json.dumps(run_sf1(cpus)))
     else:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         print(json.dumps(run_suite(sf_dir, cpus)))

@@ -221,15 +221,28 @@ def lsh_topk(
     return cosine_refine_topk(cand_ids, emb, queries, k, id_col, vec_col)
 
 
+def _sq_dists(m: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """(batch x lists) squared distances via ||a||^2 - 2ab + ||b||^2.
+
+    The naive broadcast form ``((m[:,None,:] - cent[None,:,:])**2).sum(2)``
+    materializes a batch x lists x dim float64 tensor — 1.6 GB per 4096-row
+    Arrow batch at 768-dim x 64 lists, which thrashes every executor
+    worker at once. The matmul expansion peaks at batch x lists."""
+    return (
+        (m * m).sum(axis=1)[:, None]
+        - 2.0 * (m @ cent.T)
+        + (cent * cent).sum(axis=1)[None, :]
+    )
+
+
 def _assign_udf(centroids: np.ndarray):
     """argmin-distance list assignment against broadcast centroids."""
     cent = np.asarray(centroids, dtype=np.float64)
 
     @pandas_udf(T.IntegerType())
     def assign1(vec: pd.Series) -> pd.Series:
-        m = np.vstack(vec.to_numpy())
-        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(d.argmin(axis=1).astype(np.int32))
+        m = np.vstack(vec.to_numpy()).astype(np.float64)
+        return pd.Series(_sq_dists(m, cent).argmin(axis=1).astype(np.int32))
 
     return assign1
 
@@ -240,9 +253,8 @@ def _probe_udf(centroids: np.ndarray, n_probe: int):
 
     @pandas_udf(T.ArrayType(T.IntegerType()))
     def probe(vec: pd.Series) -> pd.Series:
-        m = np.vstack(vec.to_numpy())
-        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        order = np.argsort(d, axis=1)[:, :n_probe]
+        m = np.vstack(vec.to_numpy()).astype(np.float64)
+        order = np.argsort(_sq_dists(m, cent), axis=1)[:, :n_probe]
         return pd.Series([row.astype(np.int32).tolist() for row in order])
 
     return probe

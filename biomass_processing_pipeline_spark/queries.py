@@ -1719,7 +1719,8 @@ def q_tile_discovery(spark, sf_dir):
 
 # bump whenever a candidate-generating algorithm changes (LSH planes,
 # IVF training) — the freeze dir is content-versioned by this constant
-ANN_FREEZE_VERSION = 2
+# (v3: matmul distance expansion in the IVF assign/probe UDFs)
+ANN_FREEZE_VERSION = 3
 
 
 def _ann_freeze_dir(sf_dir: str) -> str:

@@ -57,6 +57,10 @@ TIERS = {
                    class_polys=500, tiles=16, goldens=True),
     "sf0.1": dict(images=200000, counties=(16, 8), parcels=20000, plots=10000,
                   class_polys=5000, tiles=32, goldens=False),
+    # 10x the driver tier: the local memory-headroom / spill proxy for the
+    # 100x claim (bench.py --sf1); ~12 GB of image blobs on disk
+    "sf1": dict(images=2000000, counties=(32, 16), parcels=200000,
+                plots=100000, class_polys=50000, tiles=64, goldens=False),
 }
 
 
@@ -478,7 +482,8 @@ def load_fixture(spark: SparkSession, tier: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(ensure_fixtures(spark, tier), f"{name}.parquet"))
 
 
-SF_TO_TIER = {"sf0.001": "sf0.001", "sf0.01": "sf0.01", "sf0.1": "sf0.1"}
+SF_TO_TIER = {"sf0.001": "sf0.001", "sf0.01": "sf0.01", "sf0.1": "sf0.1",
+              "sf1": "sf1"}
 
 
 def tier_for_sf_dir(sf_dir: str) -> str:

@@ -101,7 +101,11 @@ def main() -> None:
         "Parcel cover built in mapInPandas over the parquet scan (no "
         "driver materialization); broadcast class-dictionary cover; "
         "rect x rect piece pairs stay whole-stage-codegen, the rest "
-        "refine in the Arrow clip UDF with WKT joined back by id.",
+        "refine in the Arrow clip UDF with WKT joined back by id. The "
+        "clip UDF is flagged nondeterministic so the min-area filter sits "
+        "ABOVE it: exactly ONE ArrowEvalPython node (round 4 — Catalyst "
+        "previously pushed the filter below the projection and evaluated "
+        "the UDF twice).",
         intersection_join(
             spark,
             spark.read.parquet(f"{d}/parcels.parquet").select(
