@@ -284,6 +284,53 @@ def _simhash_udf():
     return simhash
 
 
+def hamming_sig_pairs(
+    sig_df: DataFrame, id_col: str, sig_col: str = "sig",
+    max_hamming: int = 3, scope_col: str | None = None,
+) -> DataFrame:
+    """(id, 64-bit sig) rows -> (id_a, id_b, hamming) pairs within
+    ``max_hamming``: 4x16-bit block banding self-join + ``bit_count(xor)``
+    refine. Complete for max_hamming <= 3 by pigeonhole (two signatures
+    differing in <=3 bits agree on at least one of the 4 blocks).
+    ``shiftright`` is arithmetic but the ``& 65535`` mask makes each block
+    identical to the logical-shift value, so negative longs band correctly.
+    ``scope_col`` (optional) rides the band join key, so pairs only form
+    inside a scope (e.g. a tile) — partition-local dedup at zero extra
+    shuffle cost.
+    """
+    scope = [scope_col] if scope_col else []
+    blocks = sig_df.select(
+        id_col, sig_col, *scope,
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), "
+                f"b -> struct(b as blk, shiftright({sig_col}, b * 16) & 65535"
+                " as blk_val))"
+            )
+        ).alias("b"),
+    ).select(id_col, sig_col, *scope, "b.blk", "b.blk_val")
+    left = blocks.select(
+        F.col(id_col).alias("id_a"), F.col(sig_col).alias("sig_a"),
+        *scope, "blk", "blk_val",
+    )
+    right = blocks.select(
+        F.col(id_col).alias("id_b"), F.col(sig_col).alias("sig_b"),
+        *scope, "blk", "blk_val",
+    )
+    cand = (
+        left.join(right, [*scope, "blk", "blk_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", *scope, "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = cand.withColumn(
+        "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    )
+    return ham.where(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming", *scope
+    )
+
+
 def simhash_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
@@ -292,32 +339,124 @@ def simhash_pairs(
     Complete for max_hamming <= 3 by pigeonhole over 4 16-bit blocks.
     """
     sig = df.select(id_col, _simhash_udf()(F.col(text_col)).alias("sig"))
-    blocks = sig.select(
-        id_col, "sig",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 3), "
-                "b -> struct(b as blk, shiftright(sig, b * 16) & 65535 as blk_val))"
-            )
-        ).alias("b"),
-    ).select(id_col, "sig", "b.blk", "b.blk_val")
-    left = blocks.select(
-        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "blk", "blk_val"
+    return hamming_sig_pairs(sig, id_col, "sig", max_hamming)
+
+
+def phash_dedup_groups(
+    df: DataFrame,
+    id_col: str = "image_id",
+    sig_col: str = "phash",
+    max_hamming: int = 3,
+    scope_col: str | None = None,
+    max_iters: int = 64,
+) -> DataFrame:
+    """Image near-dup grouping on a precomputed 64-bit perceptual hash ->
+    (id, rep_id, group_size): every image mapped to the MIN-id
+    representative of its Hamming<=``max_hamming`` connected component
+    (within ``scope_col`` if given — e.g. per acquisition tile, the
+    imagery-native scoping: repeated captures of the same tile are
+    near-dups; cross-tile phash collisions are different places that
+    merely look alike).
+
+    Scale shape (the part that matters at 10^12 images): exact-duplicate
+    mass is collapsed FIRST (groupBy on the signature — one shuffle), so
+    the quadratic banding self-join and the connected-components edge list
+    only ever see DISTINCT (scope, signature) vertices. A viral image with
+    10^6 exact copies contributes ONE vertex, not 10^12/2 pairs; the final
+    sig -> rep mapping rejoins per-image in a single hash equi-join on the
+    signature. Pigeonhole banding is complete for max_hamming <= 3, so the
+    grouping equals brute-force all-pairs Hamming + min-reachable-id
+    (oracled via a DuckDB recursive CTE in queries.py). With ``scope_col``
+    components cannot cross scopes, so CC runs as ``scoped_components``
+    (one Arrow union-find pass — near-threshold sig graphs are often
+    chain-shaped, which the iterative CC pays O(diameter) driver rounds
+    for); unscoped falls back to ``dedup_components`` with ``max_iters``.
+    """
+    scope = [scope_col] if scope_col else []
+    sigs = df.groupBy(*scope, sig_col).agg(
+        F.min(id_col).alias("sig_rep"), F.count("*").alias("n_exact")
     )
-    right = blocks.select(
-        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "blk", "blk_val"
+    # vertex id: scope-qualified signature (labels are internal — only the
+    # component PARTITION matters, so any injective encoding works)
+    vid = (
+        F.concat_ws("|", F.col(scope_col), F.col(sig_col).cast("string"))
+        if scope_col else F.col(sig_col).cast("string")
     )
-    cand = (
-        left.join(right, ["blk", "blk_val"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
+    sigs = sigs.withColumn("vid", vid)
+    pairs = hamming_sig_pairs(
+        sigs.select(F.col("vid").alias("sid"), F.col(sig_col).alias("sig"),
+                    *scope),
+        "sid", "sig", max_hamming, scope_col=scope_col,
     )
-    ham = cand.withColumn(
-        "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    if scope_col:
+        comps = scoped_components(pairs, scope_col)
+    else:
+        comps = dedup_components(pairs, max_iters=max_iters)
+    labeled = sigs.join(
+        comps, sigs["vid"] == comps["doc_id"], "left"
+    ).select(
+        *scope, sig_col, "sig_rep", "n_exact",
+        F.coalesce(F.col("rep_id"), F.col("vid")).alias("comp"),
     )
-    return ham.where(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
+    grp = labeled.groupBy("comp").agg(
+        F.min("sig_rep").alias("rep_id"),
+        F.sum("n_exact").alias("group_size"),
+    )
+    sig2rep = labeled.join(grp, "comp").select(
+        *scope, sig_col, "rep_id", "group_size"
+    )
+    base = df.select(id_col, sig_col, *scope) if scope_col else df.select(
+        id_col, sig_col
+    )
+    return base.join(sig2rep, [*scope, sig_col]).select(
+        id_col, "rep_id", "group_size"
+    )
+
+
+def scoped_components(
+    pairs: DataFrame,
+    scope_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Connected components when edges NEVER cross ``scope_col`` (e.g.
+    per-tile near-dup graphs): one shuffle on the scope key, then an exact
+    union-find per scope inside ``applyInPandas`` -> (scope omitted)
+    (doc_id, rep_id) with the component's MIN id as representative.
+
+    This replaces ``dedup_components``' driver-round loop with a single
+    Arrow pass — chain-shaped signature graphs that cost O(diameter)
+    driver actions there are O(alpha) here. Scale: work and memory are
+    per-scope (each task holds one scope's EDGE LIST, already collapsed to
+    distinct signatures upstream); skewed scopes are bounded by the
+    number of distinct sigs in the scope, not the image count.
+    """
+    def _uf(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pd.unique(pd.concat([pdf[id_a], pdf[id_b]], ignore_index=True))
+        idx = {v: i for i, v in enumerate(ids)}
+        parent = np.arange(len(ids))
+
+        def find(i):
+            root = i
+            while parent[root] != root:
+                root = parent[root]
+            while parent[i] != root:
+                parent[i], i = root, parent[i]
+            return root
+
+        for a, b in zip(pdf[id_a], pdf[id_b]):
+            ra, rb = find(idx[a]), find(idx[b])
+            if ra != rb:
+                parent[rb] = ra
+        roots = np.fromiter((find(i) for i in range(len(ids))), dtype=np.int64,
+                            count=len(ids))
+        # min id per component (min-key rule, matching dedup_components)
+        comp = pd.DataFrame({"doc_id": ids, "root": roots})
+        rep = comp.groupby("root")["doc_id"].transform("min")
+        return pd.DataFrame({"doc_id": ids, "rep_id": rep})
+
+    return pairs.select(scope_col, id_a, id_b).groupBy(scope_col).applyInPandas(
+        _uf, schema="doc_id string, rep_id string"
     )
 
 
@@ -335,14 +474,15 @@ def dedup_components(
     pointer-doubling shortcut: each round every vertex takes
     min(own label, neighbors' labels), then labels compress one hop
     (rep <- rep's rep — sound because rep's rep is reachable and <= rep).
-    The shortcut makes convergence O(log diameter) instead of O(diameter),
-    so ``max_iters`` rounds cover components of diameter ~2^max_iters;
-    if labels still change when the budget is exhausted the result would
-    be silently wrong, so raise instead (driver loop, labels
-    localCheckpoint'ed per round so lineage stays flat). Label propagation
-    shuffles only the edge list — at 10^12 scale this is the standard
-    large-graph CC (hash-partitioned by vertex), no driver-side graph
-    materialization.
+    Convergence is ~O(diameter/3) rounds; each round is a driver action on
+    eagerly-checkpointed labels so lineage stays flat. For CHAIN-shaped
+    graphs (long near-threshold signature chains) prefer
+    ``scoped_components`` when a scoping key bounds each component — it
+    replaces the driver loop with one Arrow pass. If labels still change
+    when the budget is exhausted the result would be silently wrong, so
+    raise instead. Label propagation shuffles only the edge list — at
+    10^12 scale this is the standard large-graph CC (hash-partitioned by
+    vertex), no driver-side graph materialization.
     """
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
@@ -370,19 +510,21 @@ def dedup_components(
             )
         )
         # pointer doubling: follow rep one more hop through the label table
+        # (ONE compose — composing k times duplicates the whole subplan
+        # 2^k-fold, measured ~30x slower per round, not faster)
         parent = hop.select(
             F.col("id").alias("p_id"), F.col("rep").alias("p_rep")
         )
-        new_labels = (
-            hop.join(parent, hop["rep"] == parent["p_id"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("rep"), F.coalesce(F.col("p_rep"), F.col("rep"))
-                ).alias("rep"),
-            )
-            .localCheckpoint(eager=False)
+        cur = hop.join(parent, hop["rep"] == parent["p_id"], "left").select(
+            "id",
+            F.least(
+                F.col("rep"), F.coalesce(F.col("p_rep"), F.col("rep"))
+            ).alias("rep"),
         )
+        # EAGER: with eager=False the limit(1) convergence probe only
+        # materializes the partitions it touches, so later rounds recompute
+        # the rest through ever-deeper lineage (measured 100x round blowup)
+        new_labels = cur.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")

@@ -1536,6 +1536,68 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_pairs(docs, "text", "doc_id", max_hamming=3)
 
 
+def q_phash_dedup(spark, sf_dir):
+    """IMAGE near-dup grouping on the stored 64-bit perceptual hash
+    (input_hint's ``phash`` column), scoped per acquisition tile:
+    collapse exact-phash duplicates, band the DISTINCT (tile, sig)
+    vertices (4x16-bit pigeonhole, complete for Hamming<=3), connected
+    components, map every image to its component's min-id representative.
+    The image twin of ``simhash_pairs`` — the dedup a 10^12-image caption
+    corpus runs before training. Tile scoping is the imagery-native
+    semantics (repeat captures of one tile are dups; cross-tile lookalikes
+    are not) AND what keeps the synth fixture non-degenerate: unscoped,
+    its 628-phase sinusoid hashes chain the whole tier into one component
+    at Hamming<=2 (measured at sf0.001/sf0.01)."""
+    from biomass_processing_pipeline_spark.operators.dedup import (
+        phash_dedup_groups,
+    )
+    from biomass_processing_pipeline_spark.sources.images import load_images
+
+    d = _fixture(spark, sf_dir)
+    images = load_images(spark, d).select(
+        "image_id", "phash",
+        F.regexp_extract("image_id", r"^(T\d\d)_", 1).alias("tile_code"),
+    )
+    return phash_dedup_groups(
+        images, "image_id", "phash", max_hamming=2, scope_col="tile_code"
+    )
+
+
+def _sql_phash_dedup(fdir: str) -> str:
+    """Brute-force twin: all-pairs Hamming over DISTINCT (tile, phash)
+    vertices + recursive-CTE min-reachable component, then min-image-id
+    rep and summed group size mapped back per image."""
+    return rf"""
+WITH RECURSIVE imgs AS MATERIALIZED (
+  SELECT image_id, regexp_extract(image_id, '^(T\d\d)_', 1) AS tile, phash
+  FROM read_parquet('{fdir}/images.parquet/*.parquet')),
+sigs AS MATERIALIZED (
+  SELECT tile, phash, MIN(image_id) AS sig_rep, COUNT(*) AS n_exact,
+         tile || '|' || CAST(phash AS VARCHAR) AS vid
+  FROM imgs GROUP BY tile, phash),
+pairs AS MATERIALIZED (
+  SELECT a.vid AS pa, b.vid AS pb FROM sigs a JOIN sigs b
+    ON a.tile = b.tile AND a.phash < b.phash
+  WHERE bit_count(xor(a.phash, b.phash)) <= 2),
+sym AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst FROM pairs UNION SELECT pb, pa FROM pairs),
+reach(id, r) AS (
+  SELECT vid, vid FROM sigs
+  UNION
+  SELECT s.src, reach.r FROM sym s JOIN reach ON reach.id = s.dst),
+comp AS (SELECT id AS vid, MIN(r) AS comp_label FROM reach GROUP BY id),
+grp AS (
+  SELECT c.comp_label, MIN(s.sig_rep) AS rep_id,
+         CAST(SUM(s.n_exact) AS BIGINT) AS group_size
+  FROM comp c JOIN sigs s USING (vid) GROUP BY 1)
+SELECT i.image_id, g.rep_id, g.group_size
+FROM imgs i
+JOIN sigs s ON s.tile = i.tile AND s.phash = i.phash
+JOIN comp c ON c.vid = s.vid
+JOIN grp g ON g.comp_label = c.comp_label
+"""
+
+
 def q_dedup_components(spark, sf_dir):
     """Near-dup CLUSTERING: connected components over the MinHash-LSH pair
     graph, canonical rep = min doc id per component (iterative min-label
@@ -1928,6 +1990,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_discovery": q_tile_discovery,
     "validation_flags": q_validation_flags,
     "upsert_semantics": q_upsert_semantics,
+    "phash_dedup": q_phash_dedup,
 }
 
 _STATIC_ORACLES: dict[str, str] = {
@@ -1989,6 +2052,7 @@ def oracles_for(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     out["image_pip_county"] = _sql_image_pip(fdir)
     out["image_zonal_stats"] = _sql_image_zonal(fdir)
     out["image_features"] = _sql_image_features(fdir)
+    out["phash_dedup"] = _sql_phash_dedup(fdir)
     adir = _ann_freeze_dir(sf_dir)
     out["sim_lsh"] = _sql_ann_refine(f"{adir}/lsh_candidates.parquet")
     out["sim_ivf"] = _sql_ann_refine(f"{adir}/ivf_candidates.parquet")

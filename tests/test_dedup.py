@@ -133,3 +133,122 @@ def test_dedup_components_long_chain_and_budget(spark):
     assert (got["rep_id"] == 0).all() and len(got) == n
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_components(pairs, max_iters=2)
+
+
+def test_scoped_components_union_find(spark):
+    """Per-scope union-find: chains collapse to min-id reps inside a scope,
+    identical ids in different scopes never merge."""
+    from biomass_processing_pipeline_spark.operators.dedup import (
+        scoped_components,
+    )
+
+    pairs = spark.createDataFrame(pd.DataFrame({
+        "tile": ["A", "A", "A", "B", "B"],
+        "id_a": ["a1", "a2", "a3", "a1", "b8"],
+        "id_b": ["a2", "a3", "a4", "a9", "b9"],
+    }))
+    got = scoped_components(pairs, "tile").toPandas()
+    reps = dict(zip(got.doc_id, got.rep_id))
+    # scope A chain a1-a2-a3-a4 -> rep a1; scope B a1-a9 -> rep a1, b8-b9 -> b8
+    assert reps == {"a1": "a1", "a2": "a1", "a3": "a1", "a4": "a1",
+                    "a9": "a1", "b8": "b8", "b9": "b8"}
+    # rows: 4 from scope A + 4 from scope B ("a1" appears once per scope)
+    assert len(got) == 8
+
+
+def _brute_phash_groups(pdf, max_hamming):
+    """Transitive-closure golden in plain python: per scope, all-pairs
+    Hamming union-find over images (not collapsed sigs)."""
+    out = {}
+    for tile, g in pdf.groupby("tile_code"):
+        ids = list(g.image_id)
+        ph = {i: p for i, p in zip(g.image_id, g.phash)}
+        parent = {i: i for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                x = parent[x]
+            return x
+
+        for i in ids:
+            for j in ids:
+                if i < j and bin(ph[i] ^ ph[j]).count("1") <= max_hamming:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[rj] = ri
+        comp = {}
+        for i in ids:
+            comp.setdefault(find(i), []).append(i)
+        for members in comp.values():
+            rep = min(members)
+            for m in members:
+                out[m] = (rep, len(members))
+    return out
+
+
+def test_phash_dedup_groups_matches_bruteforce(spark):
+    """Tile-scoped phash near-dup grouping == per-image transitive-closure
+    brute force (exact-dup collapse + banding + union-find must compose to
+    the naive answer), and the result is partitioning-independent."""
+    import numpy as np
+
+    from biomass_processing_pipeline_spark.operators.dedup import (
+        phash_dedup_groups,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    base = int(rng.integers(0, 1 << 62))
+    for k in range(120):
+        tile = f"T{k % 3}"
+        # clusters: flip 0-2 bits off one of 6 anchors; some exact copies
+        anchor = base ^ (int(rng.integers(0, 6)) << 40)
+        sig = anchor
+        for _ in range(int(rng.integers(0, 3))):
+            sig ^= 1 << int(rng.integers(0, 63))
+        rows.append((f"img{k:03d}", tile, sig))
+    pdf = pd.DataFrame(rows, columns=["image_id", "tile_code", "phash"])
+    df = spark.createDataFrame(pdf)
+
+    got = phash_dedup_groups(
+        df, "image_id", "phash", max_hamming=2, scope_col="tile_code"
+    ).toPandas()
+    golden = _brute_phash_groups(pdf, 2)
+    assert len(got) == len(pdf)
+    for r in got.itertuples(index=False):
+        grep, gsize = golden[r.image_id]
+        assert (r.rep_id, r.group_size) == (grep, gsize), r.image_id
+
+    # partitioning independence
+    got2 = phash_dedup_groups(
+        df.repartition(7), "image_id", "phash", max_hamming=2,
+        scope_col="tile_code",
+    ).toPandas()
+    a = got.sort_values("image_id").reset_index(drop=True)
+    b = got2.sort_values("image_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_phash_dedup_groups_unscoped_negative_sigs(spark):
+    """Unscoped path (dedup_components fallback) + negative int64 phashes:
+    banding must treat the sign bit as data (arithmetic shiftright is
+    masked), grouping exact vs brute force."""
+    import numpy as np
+
+    from biomass_processing_pipeline_spark.operators.dedup import (
+        phash_dedup_groups,
+    )
+
+    sigs = [-(1 << 62) + 5, -(1 << 62) + 4, (1 << 61) + 9, (1 << 61) + 8, 77]
+    pdf = pd.DataFrame({
+        "image_id": [f"i{k}" for k in range(5)],
+        "phash": pd.array(sigs, dtype="int64"),
+    })
+    got = phash_dedup_groups(
+        spark.createDataFrame(pdf), "image_id", "phash", max_hamming=1
+    ).toPandas().set_index("image_id")
+    # i0-i1 differ in 1 bit, i2-i3 differ in 1 bit, i4 alone
+    assert got.loc["i0"].rep_id == "i0" and got.loc["i1"].rep_id == "i0"
+    assert got.loc["i2"].rep_id == "i2" and got.loc["i3"].rep_id == "i2"
+    assert got.loc["i4"].rep_id == "i4" and got.loc["i4"].group_size == 1
+    assert got.loc["i0"].group_size == 2 and got.loc["i2"].group_size == 2
