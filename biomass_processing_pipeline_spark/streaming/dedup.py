@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DOCS_SCHEMA = "doc_id long, ts timestamp, content_hash long, text string"
+IMAGES_SCHEMA = "image_id string, ts timestamp, tile_code string, phash long"
 
 
 def dedup_batch_twin(docs: DataFrame) -> DataFrame:
@@ -36,6 +37,7 @@ def run_dedup_stream(
     watermark: str = "24 hours",
     timeout_sec: int = 300,
     max_files_per_trigger: int = 2,
+    schema: str = DOCS_SCHEMA,
 ) -> DataFrame:
     """Incremental exact dedup: readStream over a document directory ->
     event-time watermark -> ``dropDuplicatesWithinWatermark`` on the
@@ -47,7 +49,7 @@ def run_dedup_stream(
     chk = os.path.join(out_dir, "_chk")
     dst = os.path.join(out_dir, "deduped")
     stream = (
-        spark.readStream.schema(DOCS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(src_dir)
     )
@@ -84,4 +86,57 @@ def doc_stream_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts"),
         F.pmod(F.col("event_id"), F.lit(500)).alias("content_hash"),
         F.concat(F.lit("doc body "), F.col("event_id")).alias("text"),
+    )
+
+
+def image_stream_fixture(spark: SparkSession, fixture_dir: str,
+                         redeliver_mod: int = 3) -> DataFrame:
+    """Deterministic image-arrival stream from the image fixture: every
+    image arrives once (ts = epoch + seq seconds), and every
+    ``redeliver_mod``-th image is RE-DELIVERED an hour later under a new
+    delivery id (a re-crawled tile upload: same tile, same pixels, so the
+    same phash — the content key). Key = (tile_code, phash): the
+    streaming twin of the batch ``phash_dedup_groups`` exact-signature
+    collapse."""
+    imgs = spark.read.parquet(f"{fixture_dir}/images.parquet").select(
+        "image_id", "phash",
+        F.regexp_extract("image_id", r"^(T\d\d)_", 1).alias("tile_code"),
+        F.regexp_extract("image_id", r"_(\d{8})$", 1).cast("long").alias("_seq"),
+    )
+    base = imgs.select(
+        "image_id",
+        (F.timestamp_seconds(F.lit(1_700_000_000) + F.col("_seq"))).alias("ts"),
+        "tile_code", "phash",
+    )
+    redelivered = imgs.where(F.col("_seq") % redeliver_mod == 0).select(
+        F.concat(F.col("image_id"), F.lit("_rd")).alias("image_id"),
+        (F.timestamp_seconds(
+            F.lit(1_700_000_000 + 3600) + F.col("_seq"))).alias("ts"),
+        "tile_code", "phash",
+    )
+    return base.unionByName(redelivered)
+
+
+def run_image_dedup_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    watermark: str = "24 hours",
+    timeout_sec: int = 300,
+    max_files_per_trigger: int = 2,
+) -> DataFrame:
+    """Streaming image near-dup ingest gate: drop re-delivered captures of
+    a tile ON ARRIVAL, keyed by (tile_code, phash) — the exact-signature
+    level of the batch ``phash_dedup_groups`` (its banding/CC near-dup
+    stage then runs over the already-thinned stream output). State is
+    hash-partitioned by the key and bounded by the watermark, so a
+    10^12-image firehose holds only the active window's distinct
+    (tile, sig) pairs."""
+    return run_dedup_stream(
+        spark, src_dir, out_dir,
+        key_cols=["tile_code", "phash"],
+        watermark=watermark,
+        timeout_sec=timeout_sec,
+        max_files_per_trigger=max_files_per_trigger,
+        schema=IMAGES_SCHEMA,
     )

@@ -106,3 +106,66 @@ def test_streaming_dedup_keeps_first_arrival_rows_exactly(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_streaming_image_phash_dedup_matches_batch_groups(spark):
+    """IMAGE-payload streaming dedup: re-delivered tile captures (same
+    tile_code+phash, later ts, new delivery id) must be dropped on
+    arrival; the surviving set must be exactly one row per batch
+    exact-signature group (phash_dedup_groups at hamming 0), and — with
+    the original-arrivals file triggered first — every survivor must be
+    an original, never a re-delivery."""
+    from biomass_processing_pipeline_spark import synth
+    from biomass_processing_pipeline_spark.operators.dedup import (
+        phash_dedup_groups,
+    )
+    from biomass_processing_pipeline_spark.streaming.dedup import (
+        image_stream_fixture,
+        run_image_dedup_stream,
+    )
+
+    fdir = synth.ensure_fixtures(spark, "sf0.001")
+    src = tempfile.mkdtemp(prefix="bpp_sid_src_")
+    out = tempfile.mkdtemp(prefix="bpp_sid_out_")
+    try:
+        stream = image_stream_fixture(spark, fdir, redeliver_mod=3)
+        originals = stream.where(~stream.image_id.endswith("_rd"))
+        redelivered = stream.where(stream.image_id.endswith("_rd"))
+        originals.coalesce(1).write.mode("overwrite").parquet(f"{src}/a")
+        redelivered.coalesce(1).write.mode("overwrite").parquet(f"{src}/b")
+        for i, f in enumerate(
+            glob.glob(f"{src}/a/part-*.parquet")
+            + glob.glob(f"{src}/b/part-*.parquet")
+        ):
+            p = os.path.join(src, f"{i}.parquet")
+            shutil.copy(f, p)
+            os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+        got = run_image_dedup_stream(
+            spark, src, out, watermark="100000 hours",
+            max_files_per_trigger=1,
+        ).toPandas()
+
+        # one survivor per exact-signature group, none of them re-deliveries
+        exp_keys = stream.select("tile_code", "phash").distinct().toPandas()
+        assert len(got) == len(exp_keys)
+        assert not got.image_id.str.endswith("_rd").any()
+        assert sorted(map(tuple, got[["tile_code", "phash"]].values.tolist())) \
+            == sorted(map(tuple, exp_keys.values.tolist()))
+
+        # parity with the batch operator at hamming 0: group count matches
+        # the streamed survivor count, and each group's size counts the
+        # original + its re-deliveries
+        groups = phash_dedup_groups(
+            stream, "image_id", "phash", max_hamming=0, scope_col="tile_code"
+        ).toPandas()
+        assert groups.rep_id.nunique() == len(got)
+        # per-group size == member count, and groups partition the stream
+        per_rep = groups.groupby("rep_id").agg(
+            n=("image_id", "size"), size=("group_size", "first")
+        )
+        assert (per_rep.n == per_rep["size"]).all()
+        assert per_rep.n.sum() == len(groups) == stream.count()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
