@@ -9,7 +9,7 @@ print one JSON line (the number BENCH/COMPARISON.md cites).
 
 ``--scaling``: run the identical spatial-join + tile-assign job at
 local[8] and local[32] (N and 4N cores standing in for N and 4N executors,
-per BASELINE.md) in fresh subprocesses and write BENCH/BASELINE.md with
+per BASELINE.md) in fresh subprocesses and write BENCH/SCALING_RUN.md with
 throughput at both plus scaling efficiency.
 
 ``--sf1``: the 10x-the-driver-tier leg — fixture-based headline queries,
@@ -568,8 +568,11 @@ def run_scaling(sf_dir: str) -> None:
     tput8 = round(n_strong / 4 / weak8, 1)
     tput32 = round(n_strong / strong32, 1)
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as fh:
-        fh.write(f"""# BENCH/BASELINE — two-parallelism scaling protocol
+    # write the auto-generated report to its OWN file: BENCH/BASELINE.md is
+    # hand-curated (multi-window variance history + clamped-median summary)
+    # and must survive re-runs — fold new windows into it manually
+    with open("BENCH/SCALING_RUN.md", "w") as fh:
+        fh.write(f"""# BENCH/SCALING_RUN — latest two-parallelism protocol run
 
 Job: the north_rule spatial-join + tile-assign pipeline, end-to-end
 (deterministic id synthesis -> footprint derivation [Arrow UDF] -> Morton
@@ -624,10 +627,6 @@ piece, so no dedup groupBy is needed (pipeline.py). Remaining
 serial cost is per-JOB (driver dispatch + count collect), not
 per-executor — at cluster scale it is amortized to nothing.
 """)
-        # preserve the hand-maintained comparison section across rewrites
-        if os.path.exists("BENCH/COMPARISON.md"):
-            fh.write("\n")
-            fh.write(open("BENCH/COMPARISON.md").read())
     print(json.dumps({
         "ceiling": ceiling, "strong_eff": strong_eff, "weak_eff": weak_eff,
         "t8_strong": strong8, "t32": strong32, "t8_weak": weak8,
