@@ -252,3 +252,47 @@ def test_phash_dedup_groups_unscoped_negative_sigs(spark):
     assert got.loc["i2"].rep_id == "i2" and got.loc["i3"].rep_id == "i2"
     assert got.loc["i4"].rep_id == "i4" and got.loc["i4"].group_size == 1
     assert got.loc["i0"].group_size == 2 and got.loc["i2"].group_size == 2
+
+
+def test_hamming_sig_pairs_pigeonhole_complete_h3(spark):
+    """Banding completeness at the pigeonhole limit: signatures differing
+    in EXACTLY 3 bits spread across 3 DIFFERENT 16-bit blocks (the worst
+    case — only one block left agreeing) must still pair; 4-bit spreads
+    across all 4 blocks must NOT (they share no block, documenting the
+    completeness boundary). Verified against brute-force all-pairs."""
+    import numpy as np
+
+    from biomass_processing_pipeline_spark.operators.dedup import (
+        hamming_sig_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    base = int(rng.integers(0, 1 << 63))
+    rows = [("s00", base)]
+    # 3 flips in blocks {0,1,2}: worst-case h=3, block 3 agrees -> must pair
+    rows.append(("s01", base ^ (1 << 2) ^ (1 << 17) ^ (1 << 33)))
+    # 4 flips, one per block: h=4, no block agrees -> banding cannot see it
+    rows.append(("s02", base ^ (1 << 2) ^ (1 << 17) ^ (1 << 33) ^ (1 << 49)))
+    # random extras
+    for k in range(3, 40):
+        rows.append((f"s{k:02d}", int(rng.integers(-(1 << 63), 1 << 63))))
+    import pandas as pd
+    sdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["sid", "sig"]).astype({"sig": "int64"})
+    )
+    got = hamming_sig_pairs(sdf, "sid", "sig", max_hamming=3).toPandas()
+    got_pairs = {(a, b) for a, b in zip(got.id_a, got.id_b)}
+
+    # brute force: ALL pairs at h<=3 must be found (none missed by banding)
+    sig = dict(rows)
+    ids = sorted(sig)
+    brute = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1") <= 3:
+                brute.add((a, b))
+    assert got_pairs == brute
+    assert ("s00", "s01") in got_pairs          # worst-case h=3 found
+    assert ("s00", "s02") not in got_pairs      # h=4: beyond the guarantee
+    ham01 = got[(got.id_a == "s00") & (got.id_b == "s01")].hamming.iloc[0]
+    assert ham01 == 3
