@@ -78,15 +78,19 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     n_images = images.count()
 
     timings: dict[str, float] = {}
+    timings_raw: dict[str, list[float]] = {}
 
     def timed(name: str, fn, repeats: int = 1):
         best, out = None, None
+        raw = []
         for _ in range(repeats):
             t0 = time.time()
             out = fn()
             dt = time.time() - t0
+            raw.append(round(dt, 3))
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        timings_raw[name] = raw
         return out
 
     # headline: spatial-join + tile-assign (north_rule throughput metric).
@@ -208,6 +212,10 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         "n_images": n_virtual,
         "n_assigned": n_assigned,
         "images_per_sec_pip_tile": round(n_virtual / timings["pip_tile"], 1),
+        # raw per-repeat times: this host's steal stalls can multiply any
+        # single measurement ~3x (CLAUDE.md), so the min alone hides how
+        # noisy the window was — the spread lets a reader judge it
+        "queries_raw": timings_raw,
     }
 
 
