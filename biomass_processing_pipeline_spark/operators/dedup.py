@@ -392,12 +392,15 @@ def phash_dedup_groups(
         comps = scoped_components(pairs, scope_col)
     else:
         comps = dedup_components(pairs, max_iters=max_iters)
+    # consumed by BOTH the per-component aggregate and the sig->rep mapping
+    # join: checkpoint so the banding join + union-find run ONCE, not once
+    # per branch (sig-level rows only — tiny relative to the input)
     labeled = sigs.join(
         comps, sigs["vid"] == comps["doc_id"], "left"
     ).select(
         *scope, sig_col, "sig_rep", "n_exact",
         F.coalesce(F.col("rep_id"), F.col("vid")).alias("comp"),
-    )
+    ).localCheckpoint(eager=False)
     grp = labeled.groupBy("comp").agg(
         F.min("sig_rep").alias("rep_id"),
         F.sum("n_exact").alias("group_size"),

@@ -87,3 +87,32 @@ def test_utm_mgrs_queries_are_pure_codegen(spark):
     for q in (q_utm_transform, q_mgrs_squares):
         plan = _plan(q(spark, "/root/testdata/sf0.001"))
         assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_phash_dedup_plan_slim_scan_no_cartesian(spark, smoke_dir):
+    """The phash dedup query must (a) scan ONLY (image_id, phash) from the
+    images table — never the binary blobs, (b) contain no cartesian
+    product (banding keeps the self-join an equi-join), and (c) run its
+    connected components as exactly one grouped Arrow pass (the scoped
+    union-find), not an iterative join loop."""
+    from biomass_processing_pipeline_spark.operators.dedup import (
+        scoped_components,
+    )
+    from biomass_processing_pipeline_spark.queries import q_phash_dedup
+
+    plan = _plan(q_phash_dedup(spark, "/root/testdata/sf0.001"))
+    for rs in plan.split("ReadSchema:")[1:]:
+        line = rs.splitlines()[0]
+        assert "bytes" not in line and "caption" not in line
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # the labeled sig table is checkpointed, so the banding join + CC run
+    # once (behind Scan ExistingRDD), never once per consuming branch
+    assert plan.count("FlatMapGroupsInPandas") == 0
+    assert "Scan ExistingRDD" in plan
+    # the CC itself is ONE grouped Arrow union-find pass, no join loop
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"t": ["A"], "id_a": ["x"], "id_b": ["y"]})
+    )
+    cc_plan = _plan(scoped_components(pairs, "t"))
+    assert cc_plan.count("FlatMapGroupsInPandas") == 1
+    assert "Join" not in cc_plan
