@@ -289,25 +289,41 @@ def hamming_sig_pairs(
     max_hamming: int = 3, scope_col: str | None = None,
 ) -> DataFrame:
     """(id, 64-bit sig) rows -> (id_a, id_b, hamming) pairs within
-    ``max_hamming``: 4x16-bit block banding self-join + ``bit_count(xor)``
-    refine. Complete for max_hamming <= 3 by pigeonhole (two signatures
-    differing in <=3 bits agree on at least one of the 4 blocks).
-    ``shiftright`` is arithmetic but the ``& 65535`` mask makes each block
-    identical to the logical-shift value, so negative longs band correctly.
-    ``scope_col`` (optional) rides the band join key, so pairs only form
-    inside a scope (e.g. a tile) — partition-local dedup at zero extra
-    shuffle cost.
+    ``max_hamming``: block-banding self-join + ``bit_count(xor)`` refine.
+    The 64 bits split into ``max(4, max_hamming + 1)`` blocks, so two
+    signatures within the Hamming budget agree on at least one block by
+    pigeonhole — complete for EVERY ``max_hamming`` <= 63 (4x16 bits for
+    the <= 3 default, narrower blocks beyond). ``shiftright`` is
+    arithmetic but the width mask makes each block identical to the
+    logical-shift value, so negative longs band correctly. ``scope_col``
+    (optional) rides the band join key, so pairs only form inside a scope
+    (e.g. a tile) — partition-local dedup at zero extra shuffle cost; the
+    same (id_a, id_b) pair occurring in several scopes keeps one edge PER
+    scope (scoped dedup, not global).
     """
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(
+            f"max_hamming={max_hamming} out of range: banding needs "
+            "max_hamming + 1 <= 64 non-empty blocks (0..63)"
+        )
+    n_blocks = max(4, max_hamming + 1)
+    base_w, rem = divmod(64, n_blocks)
+    specs, shift = [], 0
+    for b in range(n_blocks):
+        width = base_w + (1 if b < rem else 0)
+        specs.append((b, shift, (1 << width) - 1))
+        shift += width
     scope = [scope_col] if scope_col else []
     blocks = sig_df.select(
         id_col, sig_col, *scope,
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 3), "
-                f"b -> struct(b as blk, shiftright({sig_col}, b * 16) & 65535"
-                " as blk_val))"
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("blk"),
+                F.shiftright(F.col(sig_col), s).bitwiseAND(
+                    F.lit(m)).alias("blk_val"),
             )
-        ).alias("b"),
+            for b, s, m in specs
+        ])).alias("b"),
     ).select(id_col, sig_col, *scope, "b.blk", "b.blk_val")
     left = blocks.select(
         F.col(id_col).alias("id_a"), F.col(sig_col).alias("sig_a"),
@@ -321,7 +337,9 @@ def hamming_sig_pairs(
         left.join(right, [*scope, "blk", "blk_val"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", *scope, "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
+        # scope rides the dedup key: the same id pair in two scopes is two
+        # edges (dropping one would corrupt the other scope's components)
+        .dropDuplicates([*scope, "id_a", "id_b"])
     )
     ham = cand.withColumn(
         "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
@@ -364,32 +382,44 @@ def phash_dedup_groups(
     only ever see DISTINCT (scope, signature) vertices. A viral image with
     10^6 exact copies contributes ONE vertex, not 10^12/2 pairs; the final
     sig -> rep mapping rejoins per-image in a single hash equi-join on the
-    signature. Pigeonhole banding is complete for max_hamming <= 3, so the
-    grouping equals brute-force all-pairs Hamming + min-reachable-id
+    signature. Pigeonhole banding is complete for every max_hamming (the
+    band count widens with the budget), so the grouping equals
+    brute-force all-pairs Hamming + min-reachable-id
     (oracled via a DuckDB recursive CTE in queries.py). With ``scope_col``
     components cannot cross scopes, so CC runs as ``scoped_components``
     (one Arrow union-find pass — near-threshold sig graphs are often
     chain-shaped, which the iterative CC pays O(diameter) driver rounds
     for); unscoped falls back to ``dedup_components`` with ``max_iters``.
     """
-    scope = [scope_col] if scope_col else []
+    if scope_col:
+        # NULL scopes would silently vanish through the equi-joins below
+        # (and concat_ws skips NULLs, colliding with the unscoped vid
+        # encoding) — map the scope through an INJECTIVE non-null encoding
+        # instead: NULL -> "n", value s -> "v" + s (disjoint prefixes).
+        enc = F.when(
+            F.col(scope_col).isNull(), F.lit("n")
+        ).otherwise(F.concat(F.lit("v"), F.col(scope_col).cast("string")))
+        df = df.withColumn("_scope", enc)
+        scope = ["_scope"]
+    else:
+        scope = []
     sigs = df.groupBy(*scope, sig_col).agg(
         F.min(id_col).alias("sig_rep"), F.count("*").alias("n_exact")
     )
     # vertex id: scope-qualified signature (labels are internal — only the
     # component PARTITION matters, so any injective encoding works)
     vid = (
-        F.concat_ws("|", F.col(scope_col), F.col(sig_col).cast("string"))
+        F.concat_ws("|", F.col("_scope"), F.col(sig_col).cast("string"))
         if scope_col else F.col(sig_col).cast("string")
     )
     sigs = sigs.withColumn("vid", vid)
     pairs = hamming_sig_pairs(
         sigs.select(F.col("vid").alias("sid"), F.col(sig_col).alias("sig"),
                     *scope),
-        "sid", "sig", max_hamming, scope_col=scope_col,
+        "sid", "sig", max_hamming, scope_col="_scope" if scope_col else None,
     )
     if scope_col:
-        comps = scoped_components(pairs, scope_col)
+        comps = scoped_components(pairs, "_scope")
     else:
         comps = dedup_components(pairs, max_iters=max_iters)
     # consumed by BOTH the per-component aggregate and the sig->rep mapping
@@ -434,6 +464,13 @@ def scoped_components(
     distinct signatures upstream); skewed scopes are bounded by the
     number of distinct sigs in the scope, not the image count.
     """
+    # output ids keep the INPUT pair columns' type (hard-coding string
+    # would silently coerce long ids, changing min-rep ordering: '10' < '9')
+    id_type = pairs.schema[id_a].dataType
+    out_schema = T.StructType([
+        T.StructField("doc_id", id_type), T.StructField("rep_id", id_type),
+    ])
+
     def _uf(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pd.unique(pd.concat([pdf[id_a], pdf[id_b]], ignore_index=True))
         idx = {v: i for i, v in enumerate(ids)}
@@ -459,7 +496,7 @@ def scoped_components(
         return pd.DataFrame({"doc_id": ids, "rep_id": rep})
 
     return pairs.select(scope_col, id_a, id_b).groupBy(scope_col).applyInPandas(
-        _uf, schema="doc_id string, rep_id string"
+        _uf, schema=out_schema
     )
 
 

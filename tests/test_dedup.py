@@ -296,3 +296,118 @@ def test_hamming_sig_pairs_pigeonhole_complete_h3(spark):
     assert ("s00", "s02") not in got_pairs      # h=4: beyond the guarantee
     ham01 = got[(got.id_a == "s00") & (got.id_b == "s01")].hamming.iloc[0]
     assert ham01 == 3
+
+
+def test_hamming_sig_pairs_wide_budget_complete(spark):
+    """max_hamming > 3 widens the banding (h+1 blocks) instead of silently
+    losing recall: every pair at h<=5 must be found, verified vs brute
+    force, including a worst-case 5-flip spread across 5 distinct blocks."""
+    import numpy as np
+
+    from biomass_processing_pipeline_spark.operators.dedup import (
+        hamming_sig_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = int(rng.integers(0, 1 << 63))
+    # 6 blocks at h=5: widths 11,11,11,11,10,10 (offsets 0,11,22,33,44,54).
+    # Flip one bit in each of blocks 0-4 -> only block 5 agrees.
+    rows = [("w00", base),
+            ("w01", base ^ (1 << 0) ^ (1 << 11) ^ (1 << 22)
+             ^ (1 << 33) ^ (1 << 44))]
+    for k in range(2, 40):
+        rows.append((f"w{k:02d}", int(rng.integers(-(1 << 63), 1 << 63))))
+    sdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["sid", "sig"]).astype({"sig": "int64"})
+    )
+    got = hamming_sig_pairs(sdf, "sid", "sig", max_hamming=5).toPandas()
+    got_pairs = {(a, b) for a, b in zip(got.id_a, got.id_b)}
+    sig = dict(rows)
+    ids = sorted(sig)
+    brute = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1") <= 5:
+                brute.add((a, b))
+    assert got_pairs == brute
+    assert ("w00", "w01") in got_pairs
+
+
+def test_hamming_sig_pairs_rejects_invalid_budget(spark):
+    import pytest
+
+    from biomass_processing_pipeline_spark.operators.dedup import (
+        hamming_sig_pairs,
+    )
+
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"sid": ["a"], "sig": pd.array([1], dtype="int64")})
+    )
+    with pytest.raises(ValueError, match="max_hamming"):
+        hamming_sig_pairs(sdf, "sid", "sig", max_hamming=64)
+    with pytest.raises(ValueError, match="max_hamming"):
+        hamming_sig_pairs(sdf, "sid", "sig", max_hamming=-1)
+
+
+def test_hamming_sig_pairs_keeps_edge_per_scope(spark):
+    """The same (id_a, id_b) pair occurring in TWO scopes keeps one edge
+    per scope — dropping one would corrupt the other scope's components
+    (ids here are not scope-qualified, the generic-caller case)."""
+    from biomass_processing_pipeline_spark.operators.dedup import (
+        hamming_sig_pairs,
+    )
+
+    pdf = pd.DataFrame({
+        "sid": ["a", "b", "a", "b"],
+        "sig": pd.array([8, 9, 8, 9], dtype="int64"),
+        "tile": ["T1", "T1", "T2", "T2"],
+    })
+    got = hamming_sig_pairs(
+        spark.createDataFrame(pdf), "sid", "sig",
+        max_hamming=1, scope_col="tile",
+    ).toPandas().sort_values("tile").reset_index(drop=True)
+    assert len(got) == 2
+    assert list(got.tile) == ["T1", "T2"]
+    assert set(zip(got.id_a, got.id_b)) == {("a", "b")}
+
+
+def test_scoped_components_preserves_id_type(spark):
+    """Long ids must come back as longs with NUMERIC min-rep ordering:
+    {9, 10} -> rep 9 (string coercion would pick '10' < '9')."""
+    from biomass_processing_pipeline_spark.operators.dedup import (
+        scoped_components,
+    )
+
+    pairs = spark.createDataFrame(pd.DataFrame({
+        "scope": ["s", "s"],
+        "id_a": pd.array([9, 10], dtype="int64"),
+        "id_b": pd.array([10, 11], dtype="int64"),
+    }))
+    got = scoped_components(pairs, "scope")
+    types = {f.name: f.dataType.simpleString() for f in got.schema.fields}
+    assert types == {"doc_id": "bigint", "rep_id": "bigint"}
+    pdf = got.toPandas().set_index("doc_id")
+    assert set(pdf.index) == {9, 10, 11}
+    assert (pdf.rep_id == 9).all()
+
+
+def test_phash_dedup_groups_null_scope_rows_survive(spark):
+    """NULL-scope rows must not vanish: they form their own scope group
+    (and never join a real scope's components)."""
+    from biomass_processing_pipeline_spark.operators.dedup import (
+        phash_dedup_groups,
+    )
+
+    pdf = pd.DataFrame({
+        "image_id": ["n0", "n1", "t0", "t1"],
+        "phash": pd.array([100, 101, 100, 101], dtype="int64"),
+        "tile": [None, None, "T1", "T1"],
+    })
+    got = phash_dedup_groups(
+        spark.createDataFrame(pdf), "image_id", "phash",
+        max_hamming=1, scope_col="tile",
+    ).toPandas().set_index("image_id")
+    assert set(got.index) == {"n0", "n1", "t0", "t1"}  # nobody dropped
+    assert got.loc["n0"].rep_id == "n0" and got.loc["n1"].rep_id == "n0"
+    assert got.loc["t0"].rep_id == "t0" and got.loc["t1"].rep_id == "t0"
+    assert (got.group_size == 2).all()
