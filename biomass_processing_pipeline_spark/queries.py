@@ -1901,8 +1901,15 @@ def q_upsert_semantics(spark, sf_dir):
     (bucketed keep-latest merge, only touched buckets rewritten); the
     DuckDB twin is the equivalent anti-join + union — the reference's
     ``INSERT ... ON CONFLICT DO UPDATE`` (database_manager_v3.py:727-732).
-    The table is written run-scoped under a fresh temp dir (no shared
-    mutable fixture state), read back without the internal bucket col."""
+    The third batch carries INTRA-batch key conflicts plus a ``seq``
+    column: the engine's explicit last-wins precedence (max seq per key,
+    the reference's rows-applied-in-order rule) must match the twin's
+    ROW_NUMBER pre-dedup. The table is written under a fixed per-run temp
+    root that is wiped on entry and at interpreter exit, so repeated gate
+    runs leave no accumulating residue."""
+    import atexit
+    import os as _os
+    import shutil as _shutil
     import tempfile
 
     from biomass_processing_pipeline_spark.sources.sinks import (
@@ -1920,9 +1927,27 @@ def q_upsert_semantics(spark, sf_dir):
         F.round(F.col("o_totalprice") * 2.0, 2).alias("v"),
         F.lit("U").alias("status"),
     )
-    out = tempfile.mkdtemp(prefix="bpp_upsert_q_") + "/t"
+    # intra-batch conflict: every %5 key arrives TWICE (seq 1 then seq 2);
+    # last-wins must keep the seq-2 row
+    conflicted = orders.where(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") + 1.0, 2).alias("v"),
+        F.lit("X").alias("status"), F.lit(1).alias("seq"),
+    ).unionByName(
+        orders.where(F.col("o_orderkey") % 5 == 0).select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") + 2.0, 2).alias("v"),
+            F.lit("Y").alias("status"), F.lit(2).alias("seq"),
+        )
+    )
+    root = _os.path.join(tempfile.gettempdir(), "bpp_upsert_q")
+    _shutil.rmtree(root, ignore_errors=True)
+    _os.makedirs(root, exist_ok=True)
+    atexit.register(_shutil.rmtree, root, ignore_errors=True)
+    out = root + "/t"
     upsert_parquet(spark, base, out, ["k"], n_buckets=16)
     upsert_parquet(spark, batch, out, ["k"])
+    upsert_parquet(spark, conflicted, out, ["k"], seq_col="seq")
     return read_upsert_parquet(spark, out)
 
 
@@ -1934,9 +1959,24 @@ SQL_UPSERT = """
   batch AS (
     SELECT o_orderkey AS k, ROUND(o_totalprice * 2.0, 2) AS v,
            'U' AS status
-    FROM orders WHERE o_orderkey % 3 = 0)
-  SELECT * FROM base WHERE k NOT IN (SELECT k FROM batch)
-  UNION ALL SELECT * FROM batch
+    FROM orders WHERE o_orderkey % 3 = 0),
+  after2 AS (
+    SELECT * FROM base WHERE k NOT IN (SELECT k FROM batch)
+    UNION ALL SELECT * FROM batch),
+  conflicted AS (
+    SELECT o_orderkey AS k, ROUND(o_totalprice + 1.0, 2) AS v,
+           'X' AS status, 1 AS seq
+    FROM orders WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT o_orderkey AS k, ROUND(o_totalprice + 2.0, 2) AS v,
+           'Y' AS status, 2 AS seq
+    FROM orders WHERE o_orderkey % 5 = 0),
+  batch3 AS (
+    SELECT k, v, status FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      FROM conflicted) WHERE rn = 1)
+  SELECT * FROM after2 WHERE k NOT IN (SELECT k FROM batch3)
+  UNION ALL SELECT * FROM batch3
 """
 
 

@@ -31,14 +31,49 @@ def _upsert_bucket(key_cols: list[str], n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int")
 
 
+def _repair_pending_upsert(path: str) -> bool:
+    """Roll an interrupted bucket swap FORWARD (idempotent): the
+    ``_PENDING.json`` marker is written only after the staged write is
+    complete, so every touched bucket either already swapped in (staged
+    dir gone) or can be swapped now. Returns True if a repair ran.
+
+    This closes the crash-mid-swap window of the multi-bucket rename loop:
+    a reader (or the lineage resume) that finds the marker repairs the
+    table to the batch's committed state before reading, instead of
+    silently seeing half-old half-new buckets.
+    """
+    import json
+    import shutil
+
+    pend = os.path.join(path, "_PENDING.json")
+    if not os.path.exists(pend):
+        return False
+    with open(pend) as fh:
+        info = json.load(fh)
+    tmp = info["staged"]
+    for b in info["touched"]:
+        src = os.path.join(tmp, f"{UPSERT_BUCKET_COL}={b}")
+        dst = os.path.join(path, f"{UPSERT_BUCKET_COL}={b}")
+        if os.path.exists(src):
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            os.rename(src, dst)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.remove(pend)
+    return True
+
+
 def read_upsert_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """Read an upsert table without its internal bucket column."""
+    """Read an upsert table without its internal bucket column, repairing
+    an interrupted bucket swap first (see ``_repair_pending_upsert``)."""
+    _repair_pending_upsert(path)
     return spark.read.parquet(path).drop(UPSERT_BUCKET_COL)
 
 
 def upsert_parquet(
     spark: SparkSession, new: DataFrame, path: str, key_cols: list[str],
-    n_buckets: int = 64,
+    n_buckets: int = 64, seq_col: str | None = None,
 ) -> int:
     """Keep-latest upsert: rows in ``new`` replace same-key rows in the
     existing table; everything else is preserved. Returns row count after.
@@ -62,15 +97,48 @@ def upsert_parquet(
     Size ``n_buckets`` so one bucket ≈ a comfortable task (at 100 TB:
     thousands of buckets); it is fixed at table creation and read back
     from the existing layout on later batches.
+
+    Within-batch conflicts: the reference applies batch rows IN ORDER
+    (``execute_values`` row-by-row, last conflicting row wins —
+    ``database_manager_v3.py:789-792``). A distributed DataFrame has no
+    row order, so the precedence must be explicit: pass ``seq_col`` (a
+    batch sequence / version column, dropped from the stored table) and
+    the max-seq row per key wins (seq ties broken by a deterministic
+    row-content hash so re-runs converge). Without ``seq_col`` the batch
+    is REQUIRED key-unique and a duplicated key raises — silently keeping
+    both rows would violate the keep-latest contract.
     """
     import shutil
 
-    from pyspark.sql import Observation
+    from pyspark.sql import Observation, Window
 
     import json
 
+    if seq_col is not None:
+        others = [c for c in new.columns if c != seq_col]
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(seq_col).desc(), F.xxhash64(*others).desc()
+        )
+        new = (
+            new.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn", seq_col)
+        )
+    else:
+        dup = (
+            new.groupBy(*key_cols).count()
+            .where(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                "upsert batch contains duplicate keys and no seq_col: "
+                "keep-latest is undefined without an explicit precedence "
+                f"(keys={key_cols}; pass seq_col=... to pick last-wins)"
+            )
+
     obs = Observation("upsert_rows")
     meta_path = os.path.join(path, "_upsert_meta.json")
+    if os.path.exists(path):
+        _repair_pending_upsert(path)
     exists = os.path.exists(path)
     if not exists:
         first = new.withColumn(UPSERT_BUCKET_COL,
@@ -118,6 +186,13 @@ def upsert_parquet(
     untouched_rows = old.where(
         ~F.col(UPSERT_BUCKET_COL).isin(touched)
     ).count()
+    # intent marker BEFORE the swap loop (atomic tmp-file replace): a crash
+    # between any two renames leaves the marker behind, and readers /
+    # retries roll the swap forward instead of seeing a half-applied batch
+    pend = os.path.join(path, "_PENDING.json")
+    with open(pend + ".tmp", "w") as fh:
+        json.dump({"touched": touched, "staged": tmp}, fh)
+    os.replace(pend + ".tmp", pend)
     for b in touched:
         src = os.path.join(tmp, f"{UPSERT_BUCKET_COL}={b}")
         dst = os.path.join(path, f"{UPSERT_BUCKET_COL}={b}")
@@ -126,6 +201,7 @@ def upsert_parquet(
         if os.path.exists(src):  # every touched bucket has >=1 new row
             os.rename(src, dst)
     shutil.rmtree(tmp)
+    os.remove(pend)  # commit point: swap fully applied
     return touched_rows + untouched_rows
 
 

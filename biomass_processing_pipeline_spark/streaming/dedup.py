@@ -21,14 +21,6 @@ DOCS_SCHEMA = "doc_id long, ts timestamp, content_hash long, text string"
 IMAGES_SCHEMA = "image_id string, ts timestamp, tile_code string, phash long"
 
 
-def dedup_batch_twin(docs: DataFrame) -> DataFrame:
-    """Batch ground truth: the distinct content keys (the streaming op
-    keeps first-arrival rows, so row attribution is stream-order-dependent;
-    the KEY SET and its cardinality are the invariant both must agree on).
-    """
-    return docs.select("content_hash").distinct()
-
-
 def run_dedup_stream(
     spark: SparkSession,
     src_dir: str,

@@ -176,3 +176,84 @@ def test_reference_decimal_cast_parity(spark, smoke_dir):
         err = (m[f"{c}_d"].astype(float) - m[f"{c}_f"]).abs()
         assert (err <= 0.5 * 10.0 ** -s + 1e-12).all(), c
         assert all(isinstance(v, decimal.Decimal) for v in pdf[c].head(3))
+
+
+def test_upsert_intra_batch_last_wins(spark):
+    """A batch carrying the same key twice must apply the reference's
+    rows-in-order rule (database_manager_v3.py:789-792): with seq_col the
+    max-seq row wins; without it the ambiguity raises instead of silently
+    keeping both rows."""
+    import pytest
+
+    base = tempfile.mkdtemp(prefix="bpp_upsert_lw_")
+    out = base + "/t"
+    try:
+        v1 = spark.createDataFrame(
+            pd.DataFrame({"k": [1, 2], "v": ["a", "b"]})
+        )
+        upsert_parquet(spark, v1, out, ["k"])
+        dup = spark.createDataFrame(pd.DataFrame({
+            "k": [2, 2, 3], "v": ["first", "last", "c"], "seq": [1, 2, 1],
+        }))
+        assert upsert_parquet(spark, dup, out, ["k"], seq_col="seq") == 3
+        got = {r.k: r.v for r in spark.read.parquet(out).collect()}
+        assert got == {1: "a", 2: "last", 3: "c"}
+        assert "seq" not in spark.read.parquet(out).drop("_ub").columns
+
+        with pytest.raises(ValueError, match="duplicate keys"):
+            upsert_parquet(spark, dup.drop("seq"), out, ["k"])
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_upsert_crash_mid_swap_repair(spark):
+    """Kill the swap between two bucket renames (simulated via an
+    os.rename that fails after the first call): the _PENDING marker must
+    make the next read roll the batch FORWARD to the committed state."""
+    import os
+
+    import pytest
+
+    from biomass_processing_pipeline_spark.sources import sinks
+    from biomass_processing_pipeline_spark.sources.sinks import (
+        read_upsert_parquet,
+    )
+
+    base = tempfile.mkdtemp(prefix="bpp_upsert_crash_")
+    out = base + "/t"
+    try:
+        v1 = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+        upsert_parquet(spark, v1, out, ["k"], n_buckets=8)
+        # batch touching several buckets
+        v2 = spark.createDataFrame(
+            pd.DataFrame({"k": [1, 2, 3, 4, 5, 200], "v": [-1] * 6})
+        )
+        real_rename = os.rename
+        calls = {"n": 0}
+
+        def flaky_rename(src, dst):
+            if f"{sinks.UPSERT_BUCKET_COL}=" in os.path.basename(src):
+                calls["n"] += 1
+                if calls["n"] > 1:
+                    raise OSError("simulated crash mid-swap")
+            return real_rename(src, dst)
+
+        os.rename = flaky_rename
+        try:
+            with pytest.raises(OSError, match="simulated crash"):
+                upsert_parquet(spark, v2, out, ["k"])
+        finally:
+            os.rename = real_rename
+        assert calls["n"] > 1  # the crash really hit mid-loop
+        assert os.path.exists(os.path.join(out, "_PENDING.json"))
+        # reader repairs: rolls the remaining renames forward
+        got = {r.k: r.v for r in read_upsert_parquet(spark, out).collect()}
+        expect = {k: k * 10 for k in range(100)}
+        expect.update({k: -1 for k in [1, 2, 3, 4, 5, 200]})
+        assert got == expect
+        assert not os.path.exists(os.path.join(out, "_PENDING.json"))
+        assert not os.path.exists(out + "._staged")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

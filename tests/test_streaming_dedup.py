@@ -4,7 +4,6 @@ import shutil
 import tempfile
 
 from biomass_processing_pipeline_spark.streaming.dedup import (
-    dedup_batch_twin,
     doc_stream_fixture,
     run_dedup_stream,
 )
@@ -33,7 +32,7 @@ def test_streaming_dedup_matches_batch_distinct(spark):
         got = run_dedup_stream(
             spark, src, out, watermark="100000 hours"
         ).toPandas()
-        exp = dedup_batch_twin(docs).toPandas()
+        exp = docs.select("content_hash").distinct().toPandas()
         assert sorted(got.content_hash) == sorted(exp.content_hash)
         assert got.content_hash.is_unique
         # resume: the checkpoint remembers seen keys -> nothing new
