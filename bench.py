@@ -259,7 +259,7 @@ def run_degrade(sf_dir: str, cpus: int) -> dict:
     fp = with_footprint(images.select("image_id")).drop("image_id")
     knn_df = knn_weighted_agg_fused(
         fp, plots, ["attr_1", "attr_2"], k=50, point_key="seq",
-        broadcast_threshold=0,
+        broadcast_threshold=0, local_index_threshold=0,
     )
     plan = knn_df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan or "Window" in plan, \

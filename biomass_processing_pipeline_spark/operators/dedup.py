@@ -510,19 +510,27 @@ def dedup_components(
     component's MIN id as canonical representative — the dedup endgame
     (keep one doc per duplicate cluster).
 
-    Iterative min-label propagation as DataFrame joins with a
-    pointer-doubling shortcut: each round every vertex takes
-    min(own label, neighbors' labels), then labels compress one hop
-    (rep <- rep's rep — sound because rep's rep is reachable and <= rep).
-    Convergence is ~O(diameter/3) rounds; each round is a driver action on
-    eagerly-checkpointed labels so lineage stays flat. For CHAIN-shaped
-    graphs (long near-threshold signature chains) prefer
-    ``scoped_components`` when a scoping key bounds each component — it
-    replaces the driver loop with one Arrow pass. If labels still change
-    when the budget is exhausted the result would be silently wrong, so
-    raise instead. Label propagation shuffles only the edge list — at
-    10^12 scale this is the standard large-graph CC (hash-partitioned by
-    vertex), no driver-side graph materialization.
+    LOG-round label convergence (the FastSV / Shiloach–Vishkin shape):
+    each round every vertex u takes the min over {rep(u), rep(rep(u)),
+    min over neighbors v of rep(rep(v))}, AND pushes that neighbor min
+    onto its own parent label node rep(u) ("hooking" — link trees to
+    each other through the grandparent, not just along edges). The
+    shortcut halves every tree's depth per round while hooking merges
+    trees, so a diameter-d component converges in O(log d) rounds — a
+    10^6-long near-threshold signature chain costs ~20 driver rounds,
+    not 300k (the previous min-propagation + single-hop compose was
+    O(d/3)). Each round is a constant number of joins/aggs over the edge
+    list and the label table — both hash-partitioned by vertex, the
+    standard 10^12-scale CC dataflow, no driver-side graph.
+
+    Every label is always the id of a reachable same-component vertex
+    and only ever decreases, so the fixpoint is exactly the per-component
+    min (oracled vs a recursive CTE). If labels still change when the
+    budget is exhausted the result would be silently wrong, so raise
+    instead. Rounds used by the last call are exposed as
+    ``dedup_components.last_rounds`` (bench/test evidence). For graphs
+    where a scope key bounds every component, ``scoped_components``
+    replaces the loop with one Arrow pass.
     """
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
@@ -532,39 +540,43 @@ def dedup_components(
     ).distinct().localCheckpoint(eager=False)
     labels = sym.select(F.col("src").alias("id")).distinct().withColumn(
         "rep", F.col("id")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     converged = False
+    rounds = 0
     for _ in range(max_iters):
-        nbr_min = (
-            sym.join(labels, sym["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("rep").alias("nbr_rep"))
-        )
-        hop = (
-            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("rep"), F.coalesce(F.col("nbr_rep"), F.col("rep"))
-                ).alias("rep"),
-            )
-        )
-        # pointer doubling: follow rep one more hop through the label table
-        # (ONE compose — composing k times duplicates the whole subplan
-        # 2^k-fold, measured ~30x slower per round, not faster)
-        parent = hop.select(
+        rounds += 1
+        # grandparent: rep(rep(u)) — roots (rep not in the id column only
+        # when it IS its own id) resolve via the left join's coalesce
+        par = labels.select(
             F.col("id").alias("p_id"), F.col("rep").alias("p_rep")
         )
-        cur = hop.join(parent, hop["rep"] == parent["p_id"], "left").select(
-            "id",
-            F.least(
-                F.col("rep"), F.coalesce(F.col("p_rep"), F.col("rep"))
-            ).alias("rep"),
+        g = labels.join(par, labels["rep"] == par["p_id"], "left").select(
+            "id", "rep", F.coalesce("p_rep", "rep").alias("grand")
+        )
+        # min neighbor grandparent per vertex (one shuffle on the edges)
+        gn = g.select(F.col("id").alias("n_id"), F.col("grand").alias("n_grand"))
+        ngm = (
+            sym.join(gn, sym["dst"] == gn["n_id"])
+            .groupBy("src").agg(F.min("n_grand").alias("ngm"))
+        )
+        # hooking: push each vertex's neighbor-min onto its PARENT label
+        # node (f[f[u]] <- min ngm[u]) — this is what links two deep trees
+        # in one round instead of crawling the chain
+        pmin = (
+            g.join(ngm, g["id"] == ngm["src"])
+            .groupBy(F.col("rep").alias("t_id"))
+            .agg(F.min("ngm").alias("pmin"))
+        )
+        new = (
+            g.join(ngm, g["id"] == ngm["src"], "left")
+            .join(pmin, F.col("id") == F.col("t_id"), "left")
+            # Spark's least() skips NULLs, so missing ngm/pmin fall away
+            .select("id", F.least("rep", "grand", "ngm", "pmin").alias("rep"))
         )
         # EAGER: with eager=False the limit(1) convergence probe only
         # materializes the partitions it touches, so later rounds recompute
         # the rest through ever-deeper lineage (measured 100x round blowup)
-        new_labels = cur.localCheckpoint(eager=True)
+        new_labels = new.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -576,6 +588,7 @@ def dedup_components(
         if changed == 0:
             converged = True
             break
+    dedup_components.last_rounds = rounds
     if not converged:
         raise RuntimeError(
             f"dedup_components did not converge in {max_iters} rounds "

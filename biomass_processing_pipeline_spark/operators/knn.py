@@ -48,6 +48,179 @@ def distance_deg(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Colu
     return F.sqrt(F.pow(lon1 - lon2, 2) + F.pow(lat1 - lat2, 2))
 
 
+def _build_target_index(targets: DataFrame, target_key: str, level: int,
+                        attr_cols: list[str],
+                        raw_cols: list[str] = ()) -> dict:
+    """Collect the SMALL target side once and pack it into numpy arrays +
+    a sorted-cell CSR grid index (targets sorted by linearized cell id, so
+    one grid ROW of any Chebyshev ring is a contiguous slice found by two
+    ``searchsorted`` calls). This is the kNN analogue of a broadcast hash
+    join's build side: the dimension table ships to every executor ONCE
+    and the probe side never shuffles — but unlike the exploded-ring join
+    it costs O(n_targets) broadcast bytes instead of
+    O(n_targets x ring_cells) join rows, and the candidate stream never
+    crosses the JVM<->Arrow boundary at all.
+    """
+    pdf = targets.toPandas()
+    lon = pdf["t_lon"].to_numpy(np.float64)
+    lat = pdf["t_lat"].to_numpy(np.float64)
+    w = 1 << level
+    ix, iy = cells.ixy_np(lon, lat, level)
+    lin = iy * w + ix
+    order = np.argsort(lin, kind="stable")
+    key = pdf[target_key].to_numpy()[order]
+    # integer tie-rank: sorting by key_rank == sorting by key ascending,
+    # valid for ANY key dtype (string plot ids sort lexicographically)
+    key_rank = np.empty(len(key), dtype=np.int64)
+    key_rank[np.argsort(key, kind="stable")] = np.arange(len(key))
+    return {
+        "W": w,
+        "level": level,
+        "cell_w": min((cells.LON_MAX - cells.LON_MIN) / w,
+                      (cells.LAT_MAX - cells.LAT_MIN) / w),
+        "lin": lin[order],
+        "lon": lon[order],
+        "lat": lat[order],
+        "key": key,
+        "key_rank": key_rank,
+        "attrs": {a: pdf[a].to_numpy(np.float64)[order] for a in attr_cols},
+        # dtype-preserving columns (e.g. integer mode categories)
+        "raw": {c: pdf[c].to_numpy()[order] for c in raw_cols},
+    }
+
+
+def _gather_ring(t_lin: np.ndarray, w: int, pix: np.ndarray,
+                 piy: np.ndarray, r: int) -> tuple[np.ndarray, np.ndarray]:
+    """All (point_idx, target_idx) pairs with the target's cell inside the
+    point's Chebyshev-radius-``r`` ring: one contiguous-slice lookup per
+    grid row (2r+1 searchsorted rounds), CSR-expanded without a Python
+    loop over points."""
+    x_lo = np.clip(pix - r, 0, w - 1)
+    x_hi = np.clip(pix + r, 0, w - 1)
+    m = len(pix)
+    pts, tgs = [], []
+    for dy in range(-r, r + 1):
+        row = piy + dy
+        valid = (row >= 0) & (row < w)
+        if not valid.any():
+            continue
+        base = np.where(valid, row, 0) * w
+        s = np.searchsorted(t_lin, base + x_lo, side="left")
+        e = np.searchsorted(t_lin, base + x_hi, side="right")
+        s = np.where(valid, s, 0)
+        e = np.where(valid, e, s)
+        cnt = e - s
+        tot = int(cnt.sum())
+        if tot == 0:
+            continue
+        pt = np.repeat(np.arange(m), cnt)
+        offs = np.cumsum(cnt) - cnt
+        tg = np.arange(tot) - np.repeat(offs, cnt) + np.repeat(s, cnt)
+        pts.append(pt)
+        tgs.append(tg)
+    if not pts:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    return np.concatenate(pts), np.concatenate(tgs)
+
+
+def _seg_topk(pt: np.ndarray, d: np.ndarray, tie: np.ndarray, kk: int,
+              n_groups: int):
+    """Exact per-group top-``kk`` under the total order (distance,
+    tie-rank): returns (sel, rank, cnt, kth) where ``sel`` indexes the
+    input arrays, ``cnt`` is each group's candidate count and ``kth`` its
+    kk-th (or last) distance — the ring-completeness evidence."""
+    order = np.lexsort((tie, d, pt))
+    pt_s = pt[order]
+    d_s = d[order]
+    cnt = np.bincount(pt_s, minlength=n_groups)
+    starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    rank = np.arange(len(pt_s), dtype=np.int64) - starts[pt_s] + 1
+    take = rank <= kk
+    n_clip = np.minimum(cnt, kk)
+    kth = np.full(n_groups, np.inf)
+    nz = cnt > 0
+    kth[nz] = d_s[starts[nz] + n_clip[nz] - 1]
+    return order[take], rank[take], cnt, kth
+
+
+def _brute_pairs(plon: np.ndarray, plat: np.ndarray, idx: dict, kk: int):
+    """Exact top-kk against ALL targets, target-chunked so the distance
+    block stays bounded; per-chunk winners pool into a final exact pass
+    (any global top-kk element is top-kk in its own chunk under the same
+    total order, so the pooling loses nothing — no argpartition tie
+    hazards)."""
+    m = len(plon)
+    n_t = len(idx["lon"])
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+             np.empty(0), np.empty(0, dtype=np.int64))
+    if m == 0 or n_t == 0:
+        return empty
+    chunk = max(int(kk), int(2e7 // max(m, 1)), 1)
+    pool_pt, pool_tg, pool_d = [], [], []
+    for s in range(0, n_t, chunk):
+        e = min(n_t, s + chunk)
+        d = np.hypot(idx["lon"][s:e][None, :] - plon[:, None],
+                     idx["lat"][s:e][None, :] - plat[:, None]).ravel()
+        pt = np.repeat(np.arange(m), e - s)
+        tg = np.tile(np.arange(s, e), m)
+        sel, _, _, _ = _seg_topk(pt, d, idx["key_rank"][tg], kk, m)
+        pool_pt.append(pt[sel])
+        pool_tg.append(tg[sel])
+        pool_d.append(d[sel])
+    pt = np.concatenate(pool_pt)
+    tg = np.concatenate(pool_tg)
+    d = np.concatenate(pool_d)
+    sel, rank, _, _ = _seg_topk(pt, d, idx["key_rank"][tg], kk, m)
+    return pt[sel], tg[sel], d[sel], rank
+
+
+def _grid_topk_pairs(plon: np.ndarray, plat: np.ndarray, idx: dict, k: int,
+                     r0: int):
+    """EXACT top-k pairs for a batch of points against the broadcast grid
+    index: ring gather at escalating Chebyshev radius (r0, 2r0, 4r0, ...)
+    with the same completeness proof as the distributed plan (a point is
+    done iff it found k candidates with k-th distance strictly inside the
+    ring's guaranteed disc); points still unproven past the radius cap
+    fall through to the chunked brute-force pass. Returns (pt, tg, dist,
+    rank) with pt indexing the batch and tg the packed target arrays."""
+    w = idx["W"]
+    cw = idx["cell_w"]
+    kk = min(k, len(idx["lon"]))
+    m = len(plon)
+    out = []
+    if m == 0 or kk == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+                np.empty(0), np.empty(0, dtype=np.int64))
+    pix, piy = cells.ixy_np(plon, plat, idx["level"])
+    active = np.arange(m)
+    r = max(1, r0)
+    r_cap = max(4 * max(1, r0), 32)
+    while active.size:
+        if r > r_cap or 2 * r + 1 >= w:
+            bp, bt, bd, br = _brute_pairs(plon[active], plat[active], idx, kk)
+            out.append((active[bp], bt, bd, br))
+            break
+        cp, ct = _gather_ring(idx["lin"], w, pix[active], piy[active], r)
+        d = np.hypot(idx["lon"][ct] - plon[active][cp],
+                     idx["lat"][ct] - plat[active][cp])
+        sel, rank, cnt, kth = _seg_topk(
+            cp, d, idx["key_rank"][ct], kk, active.size
+        )
+        # STRICT bound: a target at exactly r*cw could sit one cell past
+        # the ring; < keeps the proof airtight (equality just escalates)
+        complete = (cnt >= kk) & (kth < r * cw)
+        cmask = complete[cp[sel]]
+        out.append((active[cp[sel][cmask]], ct[sel][cmask], d[sel][cmask],
+                    rank[cmask]))
+        active = active[~complete]
+        r *= 2
+    pt = np.concatenate([o[0] for o in out])
+    tg = np.concatenate([o[1] for o in out])
+    dist = np.concatenate([o[2] for o in out])
+    rank = np.concatenate([o[3] for o in out])
+    return pt, tg, dist, rank
+
+
 def _ring_udf(level: int, k: int):
     @pandas_udf(T.ArrayType(T.LongType()))
     def ring(cell: pd.Series) -> pd.Series:
@@ -118,6 +291,50 @@ def _local_topk(cand: DataFrame, k: int, point_key: str, target_key: str,
     ).mapInPandas(_topk, schema=schema)
 
 
+def _auto_level(r_needed: float) -> int:
+    """Index level sized so a cell is ~r_needed/3: the ring-rounding
+    overshoot stays <= (4/3)^2 in candidate count."""
+    return int(np.clip(np.ceil(np.log2(540.0 / r_needed)), 4, 20))
+
+
+def _local_knn_join(points: DataFrame, targets: DataFrame, k: int,
+                    level: int, point_key: str, target_key: str,
+                    r_needed: float) -> DataFrame:
+    """Map-only exact kNN: broadcast grid index + one mapInPandas over the
+    points (see ``_build_target_index``). Zero joins, zero shuffles, zero
+    JVM<->Arrow candidate traffic."""
+    t_sel = targets.select(
+        F.col(target_key),
+        F.col("lon").alias("t_lon"), F.col("lat").alias("t_lat"),
+    )
+    idx = _build_target_index(t_sel, target_key, level, [])
+    r0 = max(1, int(np.ceil(r_needed / idx["cell_w"])))
+    bc = points.sparkSession.sparkContext.broadcast(idx)
+    schema = T.StructType([
+        points.schema[point_key], targets.schema[target_key],
+        T.StructField("distance", T.DoubleType()),
+        T.StructField("rank", T.IntegerType()),
+    ])
+
+    def gen(batches):
+        t = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pt, tg, d, rank = _grid_topk_pairs(
+                pdf["lon"].to_numpy(np.float64),
+                pdf["lat"].to_numpy(np.float64), t, k, r0,
+            )
+            yield pd.DataFrame({
+                point_key: pdf[point_key].to_numpy()[pt],
+                target_key: t["key"][tg],
+                "distance": d,
+                "rank": rank.astype(np.int32),
+            })
+
+    return points.select(point_key, "lon", "lat").mapInPandas(gen, schema)
+
+
 def knn_join(
     points: DataFrame,
     targets: DataFrame,
@@ -128,13 +345,23 @@ def knn_join(
     init_ring: int | None = None,
     max_rounds: int = 4,  # kept for API compat; the 2-phase plan needs none
     broadcast_threshold: int = 2_000_000,
+    local_index_threshold: int = 5_000_000,
 ) -> DataFrame:
     """points(point_key, lon, lat, cell_id) x targets(target_key, lon, lat)
     -> (point_key, target_key, distance, rank), rank 1..k. Exact
     (equal to brute force); ties broken by target_key ascending.
 
-    Two-phase plan (no driver loop, no cache leaks):
+    Plan selection (in order):
 
+    0. **local grid index** (targets <= ``local_index_threshold`` and no
+       explicit ``level``/``init_ring`` override): the target side is
+       collected ONCE and broadcast as packed numpy arrays with a
+       sorted-cell CSR index; a single mapInPandas over the points runs
+       the exact ring-escalation top-k per batch. Map-only — no join, no
+       shuffle, no per-candidate Arrow row ever materialized. This is the
+       broadcast-hash-join shape of the reference's fixed-radius plot
+       query (``database_config_v3.py:104-114``) without the
+       O(targets x ring_cells) exploded build side.
     1. **ring round**: targets explode to their density-sized k-ring
        (small side!) -> broadcast candidate join (shuffle-free on the big
        side) -> guard pre-filter -> partition-local exact top-k. A point is
@@ -157,6 +384,12 @@ def knn_join(
     area = max((stats_row.x1 - stats_row.x0) * (stats_row.y1 - stats_row.y0), 1e-9)
     density = max(n_targets / area, 1e-9)
     r_needed = float(np.sqrt(1.5 * k / (np.pi * density)))
+    if (level is None and init_ring is None
+            and 0 < n_targets <= local_index_threshold):
+        return _local_knn_join(
+            points, targets, k, _auto_level(r_needed), point_key,
+            target_key, r_needed,
+        )
     if level is None:
         # auto level: cell height ~ r_needed/3 keeps the ring-rounding
         # overshoot <= (4/3)^2 in candidate count while the ring table
@@ -256,6 +489,71 @@ def knn_join(
     return done.unionByName(fallback)
 
 
+def _local_fused(points: DataFrame, targets: DataFrame, attrs: list[str],
+                 k: int, level: int, point_key: str, target_key: str,
+                 eps: float, mode_attr: str | None,
+                 r_needed: float) -> DataFrame:
+    """Map-only fused kNN + weighted agg: the exact top-k AND the
+    1/(d+eps)-weighted aggregation (A5 means, optional A6 mode) happen in
+    the SAME numpy pass over each point batch — one output row per point
+    leaves the worker; the points x k stream never exists anywhere."""
+    extra = [mode_attr] if mode_attr else []
+    t_sel = targets.select(
+        F.col(target_key),
+        F.col("lon").alias("t_lon"), F.col("lat").alias("t_lat"),
+        *attrs, *extra,
+    )
+    idx = _build_target_index(t_sel, target_key, level, list(attrs),
+                              raw_cols=extra)
+    r0 = max(1, int(np.ceil(r_needed / idx["cell_w"])))
+    bc = points.sparkSession.sparkContext.broadcast(idx)
+    fields = [
+        points.schema[point_key],
+        T.StructField("sum_w", T.DoubleType()),
+        T.StructField("n_neighbors", T.LongType()),
+    ] + [T.StructField(f"w_{a}", T.DoubleType()) for a in attrs]
+    if mode_attr:
+        fields.append(T.StructField(
+            f"mode_{mode_attr}", targets.schema[mode_attr].dataType))
+    schema = T.StructType(fields)
+
+    def gen(batches):
+        t = bc.value
+        if len(t["lon"]) == 0:
+            return
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            pt, tg, d, _ = _grid_topk_pairs(
+                pdf["lon"].to_numpy(np.float64),
+                pdf["lat"].to_numpy(np.float64), t, k, r0,
+            )
+            wgt = 1.0 / (d + eps)
+            sum_w = np.bincount(pt, weights=wgt, minlength=m)
+            cols = {
+                point_key: pdf[point_key].to_numpy(),
+                "sum_w": sum_w,
+                "n_neighbors": np.bincount(pt, minlength=m).astype(np.int64),
+            }
+            for a in attrs:
+                cols[f"w_{a}"] = np.bincount(
+                    pt, weights=wgt * t["attrs"][a][tg], minlength=m
+                ) / sum_w
+            if mode_attr:
+                cat = t["raw"][mode_attr][tg]
+                uq, code = np.unique(cat, return_inverse=True)
+                votes = np.bincount(
+                    pt * len(uq) + code, weights=wgt, minlength=m * len(uq)
+                ).reshape(m, len(uq))
+                # argmax returns the FIRST max -> ties take the smaller
+                # category (uq is sorted ascending), the documented A6 rule
+                cols[f"mode_{mode_attr}"] = uq[np.argmax(votes, axis=1)]
+            yield pd.DataFrame(cols)
+
+    return points.select(point_key, "lon", "lat").mapInPandas(gen, schema)
+
+
 def knn_weighted_agg_fused(
     points: DataFrame,
     targets: DataFrame,
@@ -267,6 +565,7 @@ def knn_weighted_agg_fused(
     eps: float = 0.01,
     broadcast_threshold: int = 2_000_000,
     mode_attr: str | None = None,
+    local_index_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Fused kNN + distance-weighted aggregation: semantically identical to
     ``distance_weighted_agg(knn_join(...), targets, attrs)`` but the
@@ -293,6 +592,12 @@ def knn_weighted_agg_fused(
     area = max((stats_row.x1 - stats_row.x0) * (stats_row.y1 - stats_row.y0), 1e-9)
     density = max(n_targets / area, 1e-9)
     r_needed = float(np.sqrt(1.5 * k / (np.pi * density)))
+    if (level is None and int(stats_row.n) > 0
+            and n_targets <= local_index_threshold):
+        return _local_fused(
+            points, targets, attrs, k, _auto_level(r_needed), point_key,
+            target_key, eps, mode_attr, r_needed,
+        )
     if level is None:
         level = int(np.clip(np.ceil(np.log2(540.0 / r_needed)), 4, 20))
         while n_targets * (2 * max(1, int(np.ceil(

@@ -116,21 +116,26 @@ def test_dedup_components_transitive(spark):
 
 
 def test_dedup_components_long_chain_and_budget(spark):
-    """A 60-edge chain has diameter > the old 20-iteration budget; the
-    pointer-doubling shortcut must still converge (O(log d) rounds), and
-    an exhausted budget must raise, never return silently-wrong reps."""
+    """Chain graphs (the near-threshold signature worst case) must
+    converge in LOG rounds — hooking + grandparent shortcutting, not
+    O(diameter) crawling: a 255-edge chain needs <= ceil(log2(256)) + 2
+    driver rounds (measured: exactly +1). An exhausted budget must raise,
+    never return silently-wrong reps."""
+    import math
+
     import pytest
 
     from biomass_processing_pipeline_spark.operators.dedup import (
         dedup_components,
     )
 
-    n = 61
+    n = 256
     pairs = spark.createDataFrame(pd.DataFrame({
         "id_a": list(range(n - 1)), "id_b": list(range(1, n)),
     }))
-    got = dedup_components(pairs, max_iters=10).toPandas()
+    got = dedup_components(pairs, max_iters=15).toPandas()
     assert (got["rep_id"] == 0).all() and len(got) == n
+    assert dedup_components.last_rounds <= math.ceil(math.log2(n)) + 2
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_components(pairs, max_iters=2)
 

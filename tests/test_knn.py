@@ -45,3 +45,89 @@ def test_distance_weighted_agg_matches_manual(spark, smoke_dir):
         assert abs(row.w_attr_1 - (w * sub.attr_1).sum() / w.sum()) < 1e-9
         assert abs(row.w_attr_2 - (w * sub.attr_2).sum() / w.sum()) < 1e-9
         assert row.n_neighbors == 10
+
+
+def test_knn_distributed_path_matches_golden(spark, smoke_dir):
+    """local_index_threshold=0 forces the exploded-ring broadcast plan —
+    it must stay exact vs the same brute-force golden now that the local
+    grid index is the default."""
+    points = _points(spark, smoke_dir)
+    plots = spark.read.parquet(f"{smoke_dir}/plots.parquet")
+    got = knn_join(points, plots, k=50, local_index_threshold=0).toPandas()
+    gold = pd.read_parquet(f"{smoke_dir}/golden_knn.parquet")
+    g = got.sort_values(["image_id", "rank"]).reset_index(drop=True)
+    e = gold.sort_values(["image_id", "rank"]).reset_index(drop=True)
+    assert len(g) == len(e)
+    assert (g.plot_cn == e.plot_cn).all()
+    assert np.allclose(g.distance, e.distance, atol=1e-12)
+
+
+def test_knn_local_plan_is_map_only(spark, smoke_dir):
+    """The default local-grid-index plan must be a single mapInPandas over
+    the points: no join, no Exchange, no per-candidate rows."""
+    points = _points(spark, smoke_dir, n=50)
+    plots = spark.read.parquet(f"{smoke_dir}/plots.parquet")
+    df = knn_join(points.localCheckpoint(), plots, k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan.replace("MapInPandas", "")
+
+
+def test_knn_local_escalation_and_small_target_sets(spark):
+    """Ring escalation + brute-force backstop: clustered targets with a
+    far outlier point (phase-1 completeness fails), and k > n_targets
+    (every point must get all targets). Exact vs in-test brute force."""
+    import itertools
+
+    rng = np.random.default_rng(3)
+    # targets clustered near (0, 0); density sizing will pick a small disc
+    t = pd.DataFrame({
+        "plot_cn": np.arange(400, dtype=np.int64),
+        "lon": rng.uniform(-1, 1, 400),
+        "lat": rng.uniform(-1, 1, 400),
+    })
+    # points: in-cluster + far outliers (10 deg away -> escalation/brute)
+    p = pd.DataFrame({
+        "image_id": [f"p{i:02d}" for i in range(30)],
+        "lon": np.concatenate([rng.uniform(-1, 1, 20), rng.uniform(9, 11, 10)]),
+        "lat": np.concatenate([rng.uniform(-1, 1, 20), rng.uniform(9, 11, 10)]),
+    })
+    for k in (7, 500):  # 500 > n_targets: everyone gets all 400
+        got = knn_join(
+            spark.createDataFrame(p), spark.createDataFrame(t), k=k
+        ).toPandas().sort_values(["image_id", "rank"]).reset_index(drop=True)
+        rows = []
+        for r in p.itertuples(index=False):
+            d = np.hypot(t.lon.to_numpy() - r.lon, t.lat.to_numpy() - r.lat)
+            order = np.lexsort((t.plot_cn.to_numpy(), d))[:k]
+            for rk, oi in enumerate(order):
+                rows.append((r.image_id, int(t.plot_cn[oi]), float(d[oi]), rk + 1))
+        exp = pd.DataFrame(
+            rows, columns=["image_id", "plot_cn", "distance", "rank"]
+        ).sort_values(["image_id", "rank"]).reset_index(drop=True)
+        assert len(got) == len(exp) == len(p) * min(k, len(t))
+        assert (got.plot_cn == exp.plot_cn).all()
+        assert np.allclose(got.distance, exp.distance, atol=1e-12)
+
+
+def test_knn_local_partitioning_independent(spark):
+    """Same results at 1 and 13 point partitions (the batch boundary must
+    not affect the top-k)."""
+    rng = np.random.default_rng(5)
+    t = spark.createDataFrame(pd.DataFrame({
+        "plot_cn": np.arange(300, dtype=np.int64),
+        "lon": rng.uniform(-3, 3, 300), "lat": rng.uniform(-3, 3, 300),
+    }))
+    p = pd.DataFrame({
+        "image_id": [f"q{i:03d}" for i in range(97)],
+        "lon": rng.uniform(-3, 3, 97), "lat": rng.uniform(-3, 3, 97),
+    })
+    outs = []
+    for nparts in (1, 13):
+        df = spark.createDataFrame(p).repartition(nparts)
+        outs.append(
+            knn_join(df, t, k=9).toPandas()
+            .sort_values(["image_id", "rank"]).reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])

@@ -53,19 +53,25 @@ def test_fused_mode_attr_parity(spark, smoke_dir):
 
 
 def test_fused_shuffle_fallback_parity(spark, smoke_dir):
-    """broadcast_threshold=0 forces the shuffle-join + window plan (the
-    OOM guard for oversized ring tables); outputs must be identical to the
-    broadcast map-side plan."""
+    """All three physical plans must agree: the default local-grid-index
+    map-only path, the exploded-ring broadcast join
+    (local_index_threshold=0), and the shuffle-join + window OOM guard
+    (broadcast_threshold=0 as well)."""
     fp = with_footprint(load_images(spark, smoke_dir).select("image_id")).limit(120)
     plots = spark.read.parquet(f"{smoke_dir}/plots.parquet")
-    bcast = knn_weighted_agg_fused(
+    local = knn_weighted_agg_fused(
         fp, plots, ["attr_1", "attr_2"], k=10
     ).toPandas().set_index("image_id").sort_index()
-    shuffled = knn_weighted_agg_fused(
-        fp, plots, ["attr_1", "attr_2"], k=10, broadcast_threshold=0
+    bcast = knn_weighted_agg_fused(
+        fp, plots, ["attr_1", "attr_2"], k=10, local_index_threshold=0
     ).toPandas().set_index("image_id").sort_index()
-    assert len(shuffled) == len(bcast) == 120
-    assert (shuffled.n_neighbors == bcast.n_neighbors).all()
-    assert np.allclose(shuffled.sum_w, bcast.sum_w, rtol=1e-12)
-    assert np.allclose(shuffled.w_attr_1, bcast.w_attr_1, rtol=1e-12)
-    assert np.allclose(shuffled.w_attr_2, bcast.w_attr_2, rtol=1e-12)
+    shuffled = knn_weighted_agg_fused(
+        fp, plots, ["attr_1", "attr_2"], k=10, broadcast_threshold=0,
+        local_index_threshold=0,
+    ).toPandas().set_index("image_id").sort_index()
+    assert len(shuffled) == len(bcast) == len(local) == 120
+    for other in (bcast, shuffled):
+        assert (other.n_neighbors == local.n_neighbors).all()
+        assert np.allclose(other.sum_w, local.sum_w, rtol=1e-12)
+        assert np.allclose(other.w_attr_1, local.w_attr_1, rtol=1e-12)
+        assert np.allclose(other.w_attr_2, local.w_attr_2, rtol=1e-12)
