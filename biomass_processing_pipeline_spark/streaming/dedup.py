@@ -109,6 +109,175 @@ def image_stream_fixture(spark: SparkSession, fixture_dir: str,
     return base.unionByName(redelivered)
 
 
+def _popcount64(x):
+    """Vectorized 64-bit popcount (SWAR) over an int64/uint64 array —
+    works on any numpy version (np.bitwise_count needs >= 2.0)."""
+    import numpy as np
+
+    x = x.astype(np.uint64)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h1 = np.uint64(0x0101010101010101)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    with np.errstate(over="ignore"):
+        return ((x * h1) >> np.uint64(56)).astype(np.int64)
+
+
+def drift_gate_core(
+    phash, ts_s, kept_sigs, kept_ts, max_hamming: int, horizon_s: int,
+):
+    """Pure greedy arrival-order near-dup gate for ONE tile's batch
+    (rows pre-sorted by event time): an arrival is dropped iff it is
+    within ``max_hamming`` of an earlier KEPT capture of the same tile
+    still inside the ``horizon_s`` state window. Returns
+    (keep_mask, new_sigs, new_ts) with entries older than
+    ``batch_max_ts - horizon_s`` evicted — the bounded-state rule.
+
+    The row loop is inherently sequential (each kept row changes the
+    verdict for later rows); the Hamming check per row is vectorized
+    against the tile's kept set. Greedy first-arrival semantics: a drift
+    CHAIN (a~b~c with a!~c) keeps a and possibly c — the batch
+    ``phash_dedup_groups`` CC pass is the transitive-closure authority,
+    this gate only thins the firehose on arrival.
+    """
+    import numpy as np
+
+    sigs = list(kept_sigs)
+    tss = list(kept_ts)
+    keep = np.zeros(len(phash), dtype=bool)
+    lo = 0  # kept entries are appended in arrival order, so tss is
+    #         nondecreasing and the live window is a suffix
+    for i in range(len(phash)):
+        cutoff = int(ts_s[i]) - horizon_s
+        while lo < len(tss) and tss[lo] < cutoff:
+            lo += 1
+        live = sigs[lo:]
+        if live:
+            ham = _popcount64(
+                np.asarray(live, dtype=np.int64) ^ np.int64(phash[i])
+            )
+            dup = bool((ham <= max_hamming).any())
+        else:
+            dup = False
+        if not dup:
+            sigs.append(int(phash[i]))
+            tss.append(int(ts_s[i]))
+            keep[i] = True
+    return keep, sigs[lo:], tss[lo:]
+
+
+def run_image_driftdedup_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    max_hamming: int = 2,
+    horizon_sec: int = 86_400,
+    timeout_sec: int = 300,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming image NEAR-dup gate: where ``run_image_dedup_stream``
+    only drops exact (tile, phash) re-deliveries, this drops re-ENCODED
+    captures whose phash drifted by up to ``max_hamming`` bits (a
+    re-compressed upload of the same tile scene). Per-tile GroupState
+    holds the kept signatures of the active ``horizon_sec`` window —
+    state is bounded by each tile's distinct kept sigs in the window,
+    exactly the batch pipeline's distinct-(tile, sig) vertex set, and the
+    greedy arrival-order semantics are ``drift_gate_core`` (unit-tested
+    against a batch reference). availableNow + checkpoint as in
+    ``run_dedup_stream``."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    chk = os.path.join(out_dir, "_chk")
+    dst = os.path.join(out_dir, "deduped")
+
+    def gate(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        sigs, tss = state.get if state.exists else ([], [])
+        sigs, tss = list(sigs), list(tss)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts", kind="stable")
+            ph = pdf["phash"].to_numpy(np.int64)
+            t_s = (pdf["ts"].astype("int64") // 10**9).to_numpy()
+            keep, sigs, tss = drift_gate_core(
+                ph, t_s, sigs, tss, max_hamming, horizon_sec
+            )
+            out = pdf[keep]
+            if len(out):
+                yield out
+        state.update((sigs, tss))
+
+    stream = (
+        spark.readStream.schema(IMAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    gated = stream.groupBy("tile_code").applyInPandasWithState(
+        gate,
+        outputStructType=IMAGES_SCHEMA,
+        stateStructType="sigs array<long>, tss array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        gated.writeStream.outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", dst)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"drift dedup stream did not finish within {timeout_sec}s"
+        )
+    return spark.read.parquet(dst)
+
+
+def image_drift_stream_fixture(spark, fixture_dir: str,
+                               redeliver_mod: int = 3) -> DataFrame:
+    """Drift variant of ``image_stream_fixture``: every
+    ``redeliver_mod``-th image is re-delivered much later as a RE-ENCODED
+    capture — same scene, but the perceptual hash drifted by 1 bit (2 for
+    even seqs), under a new delivery id. The re-delivery offset (1e6 s)
+    exceeds any seq, so event-time order equals file order and a greedy
+    batch reference is well-defined."""
+    imgs = spark.read.parquet(f"{fixture_dir}/images.parquet").select(
+        "image_id", "phash",
+        F.regexp_extract("image_id", r"^(T\d\d)_", 1).alias("tile_code"),
+        F.regexp_extract("image_id", r"_(\d{8})$", 1).cast("long").alias("_seq"),
+    )
+    base = imgs.select(
+        "image_id",
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("_seq")).alias("ts"),
+        "tile_code", "phash",
+    )
+    flip1 = F.expr("shiftleft(1L, cast(_seq % 60 as int))")
+    flip2 = F.expr("shiftleft(1L, cast((_seq * 7 + 13) % 60 as int))")
+    drifted = imgs.where(F.col("_seq") % redeliver_mod == 0).select(
+        F.concat(F.col("image_id"), F.lit("_re")).alias("image_id"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000 + 1_000_000) + F.col("_seq")
+        ).alias("ts"),
+        "tile_code",
+        F.when(
+            F.col("_seq") % 2 == 0,
+            F.col("phash").bitwiseXOR(flip1).bitwiseXOR(flip2),
+        ).otherwise(F.col("phash").bitwiseXOR(flip1)).alias("phash"),
+    )
+    return base.unionByName(drifted)
+
+
 def run_image_dedup_stream(
     spark: SparkSession,
     src_dir: str,

@@ -168,3 +168,120 @@ def test_streaming_image_phash_dedup_matches_batch_groups(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_drift_gate_core_greedy_and_eviction():
+    """Pure-function contract of the streaming drift gate: greedy
+    first-arrival keeps, chain semantics (a~b~c with a!~c keeps a and c),
+    and horizon eviction bounds the kept-signature state."""
+    import numpy as np
+
+    from biomass_processing_pipeline_spark.streaming.dedup import (
+        drift_gate_core,
+    )
+
+    # chain: b within 1 bit of a; c within 1 bit of b but 2 bits of a
+    a, b, c = 0b0000, 0b0001, 0b0011
+    keep, sigs, tss = drift_gate_core(
+        np.array([a, b, c], dtype=np.int64), np.array([10, 20, 30]),
+        [], [], max_hamming=1, horizon_s=1000,
+    )
+    # b drops (1 bit from kept a); c is 2 bits from the only KEPT sig a
+    # (b never entered the state), so greedy keeps it
+    assert list(keep) == [True, False, True]
+    assert sigs == [a, c] and tss == [10, 30]
+    keep2, _, _ = drift_gate_core(
+        np.array([a, b, c], dtype=np.int64), np.array([10, 20, 30]),
+        [], [], max_hamming=2, horizon_s=1000,
+    )
+    assert list(keep2) == [True, False, False]  # budget 2 reaches c via a
+
+    # eviction: an old kept sig ages out, so a later duplicate re-enters
+    keep3, sigs3, tss3 = drift_gate_core(
+        np.array([a], dtype=np.int64), np.array([100]), [], [],
+        max_hamming=1, horizon_s=50,
+    )
+    assert list(keep3) == [True]
+    keep4, sigs4, tss4 = drift_gate_core(
+        np.array([a], dtype=np.int64), np.array([1000]), sigs3, tss3,
+        max_hamming=1, horizon_s=50,
+    )
+    assert list(keep4) == [True]          # old state evicted -> kept again
+    assert sigs4 == [a] and tss4 == [1000]  # state bounded: one live entry
+
+
+def test_streaming_image_drift_dedup_matches_greedy_reference(spark):
+    """Drift gate end-to-end: re-encoded re-deliveries whose phash drifted
+    1-2 bits must be dropped on arrival. The streamed survivor set must
+    EQUAL a greedy batch reference (drift_gate_core over each tile's rows
+    in event-time order), every dropped row must be within max_hamming of
+    an earlier same-tile survivor (soundness), and — originals triggering
+    first — drifted re-deliveries of surviving originals must all drop."""
+    import numpy as np
+
+    from biomass_processing_pipeline_spark import synth
+    from biomass_processing_pipeline_spark.streaming.dedup import (
+        drift_gate_core,
+        image_drift_stream_fixture,
+        run_image_driftdedup_stream,
+    )
+
+    fdir = synth.ensure_fixtures(spark, "sf0.001")
+    src = tempfile.mkdtemp(prefix="bpp_sdd_src_")
+    out = tempfile.mkdtemp(prefix="bpp_sdd_out_")
+    try:
+        stream = image_drift_stream_fixture(spark, fdir, redeliver_mod=3)
+        originals = stream.where(~stream.image_id.endswith("_re"))
+        drifted = stream.where(stream.image_id.endswith("_re"))
+        originals.coalesce(1).write.mode("overwrite").parquet(f"{src}/a")
+        drifted.coalesce(1).write.mode("overwrite").parquet(f"{src}/b")
+        for i, f in enumerate(
+            glob.glob(f"{src}/a/part-*.parquet")
+            + glob.glob(f"{src}/b/part-*.parquet")
+        ):
+            p = os.path.join(src, f"{i}.parquet")
+            shutil.copy(f, p)
+            os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+        h = 2
+        got = run_image_driftdedup_stream(
+            spark, src, out, max_hamming=h, horizon_sec=10_000_000,
+        ).toPandas()
+
+        # greedy batch reference per tile, rows in event-time order
+        all_rows = stream.toPandas().sort_values(
+            ["tile_code", "ts", "image_id"], kind="stable"
+        )
+        exp_ids = []
+        for tile, grp in all_rows.groupby("tile_code"):
+            keep, _, _ = drift_gate_core(
+                grp.phash.to_numpy(np.int64),
+                (grp.ts.astype("int64") // 10**9).to_numpy(),
+                [], [], max_hamming=h, horizon_s=10_000_000,
+            )
+            exp_ids.extend(grp.image_id.to_numpy()[keep])
+        assert sorted(got.image_id) == sorted(exp_ids)
+
+        # soundness: every dropped row is within h of an EARLIER survivor
+        # of the same tile
+        surv = got.set_index("image_id")
+        dropped = all_rows[~all_rows.image_id.isin(surv.index)]
+        assert len(dropped) > 0  # the fixture really exercises the gate
+        for tile, grp in dropped.groupby("tile_code"):
+            s = got[got.tile_code == tile]
+            for r in grp.itertuples(index=False):
+                earlier = s[s.ts <= r.ts]
+                ham = np.array([
+                    bin((int(p) ^ int(r.phash)) & ((1 << 64) - 1)).count("1")
+                    for p in earlier.phash
+                ])
+                assert (ham <= h).any(), (tile, r.image_id)
+        # every drifted re-delivery of a SURVIVING original must be gone
+        re_of_surv = all_rows[
+            all_rows.image_id.str.endswith("_re")
+            & all_rows.image_id.str[:-3].isin(surv.index)
+        ]
+        assert not re_of_surv.image_id.isin(surv.index).any()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
