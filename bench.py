@@ -38,6 +38,54 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _inline_calibration(seconds: float = 2.0) -> float:
+    """Single-process busy-loop rate (fixed LCG arithmetic, iterations/sec)
+    run in THIS process — the per-round host-speed denominator that lets
+    cross-round suite comparisons be ceiling-normalized instead of argued
+    from a proxy query (this VM's CPU speed varies ~2x with host
+    contention). Deliberately NOT multiprocessing: a spawn pool driven
+    from a heredoc re-imports __main__ and recursively re-runs the script
+    (documented incident); one pinned-width sample is enough because the
+    number is only ever used as a RATIO between rounds."""
+    t0 = time.time()
+    x, iters = 1, 0
+    while True:
+        for _ in range(20_000):
+            x = (x * 1103515245 + 12345) % 2147483648
+        iters += 20_000
+        dt = time.time() - t0
+        if dt >= seconds:
+            return round(iters / dt)
+
+
+def _emb_x10(spark, sf_dir: str):
+    """Deterministic 10x embedding corpus: ten shards of the sf-tier
+    vectors, shard i's vectors rotated by i positions. Rotation preserves
+    norms and every intra-shard dot product exactly (the shard keeps the
+    tier's similarity structure), while cross-shard pairs decorrelate —
+    a 10x corpus with the same per-shard neighborhood profile."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb.select("embedding").head()[0])
+    shards = []
+    for i in range(10):
+        rolled = F.expr(
+            f"concat(slice(embedding, {i + 1}, {dim - i}), "
+            f"slice(embedding, 1, {i}))"
+        ) if i else F.col("embedding")
+        shards.append(emb.select(
+            (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
+            rolled.alias("embedding"),
+        ))
+    out = shards[0]
+    for s in shards[1:]:
+        out = out.unionByName(s)
+    return out
+
+
 def run_suite(sf_dir: str, cpus: int) -> dict:
     import pandas as pd
     from pyspark.sql import functions as F
@@ -66,6 +114,7 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         load_images, with_footprint,
     )
 
+    cal_start = _inline_calibration()
     tier = synth.tier_for_sf_dir(sf_dir)
     spark = get_spark(
         app_name=f"bpp_bench_{cpus}", master=f"local[{cpus}]",
@@ -141,6 +190,8 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         return {
             "metric": "headline_suite_seconds",
             "value": timings["pip_tile"], "unit": "sec", "queries": timings,
+            "calibration": {"start_iters_per_sec": cal_start,
+                            "end_iters_per_sec": _inline_calibration()},
             "sf": float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1),
             "cpus": cpus, "n_images": n_virtual, "n_assigned": n_assigned,
             "images_per_sec_pip_tile": round(n_virtual / timings["pip_tile"], 1),
@@ -201,11 +252,16 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
     timed("sim_topk", _sim, repeats=2)
 
     spark.stop()
+    cal_end = _inline_calibration()
     total = round(sum(timings.values()), 3)
     return {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
+        # host-speed denominator for cross-round normalization (ratio of
+        # two rounds' rates ~= their hardware-window speed ratio)
+        "calibration": {"start_iters_per_sec": cal_start,
+                        "end_iters_per_sec": cal_end},
         "queries": timings,
         "sf": float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1),
         "cpus": cpus,
@@ -398,6 +454,7 @@ def run_sf1(cpus: int) -> dict:
     )
     from biomass_processing_pipeline_spark.workflow import run_county_workflow
 
+    cal_start = _inline_calibration()
     spark = get_spark(
         app_name="bpp_bench_sf1", master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 64),  # 2x task headroom at 10x rows
@@ -469,6 +526,67 @@ def run_sf1(cpus: int) -> dict:
 
     n_pairs = timed("minhash_dedup_x10", _dedup)
 
+    # remaining headline operators at 10x (VERDICT r4 #5: every headline
+    # operator gets a 10x-scale datum, not just the heavy spatial legs)
+    def _simhash():
+        from biomass_processing_pipeline_spark.operators.dedup import (
+            simhash_pairs,
+        )
+
+        return simhash_pairs(docs10, "text", "doc_id", max_hamming=3).count()
+
+    timed("simhash_x10", _simhash)
+
+    def _phash():
+        from biomass_processing_pipeline_spark.operators.dedup import (
+            phash_dedup_groups,
+        )
+
+        imgs = images.select(
+            "image_id", "phash",
+            F.regexp_extract("image_id", r"^(T\d\d)_", 1).alias("tile_code"),
+        )
+        return phash_dedup_groups(
+            imgs, "image_id", "phash", max_hamming=2, scope_col="tile_code"
+        ).count()
+
+    timed("phash_dedup", _phash)
+
+    emb10 = _emb_x10(spark, sf01).localCheckpoint(eager=True)
+    q10 = emb10.where(F.col("vec_id") % 100 == 0)
+
+    def _sim_bf():
+        from biomass_processing_pipeline_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        return brute_force_topk(emb10, q10, k=5).count()
+
+    timed("sim_topk_x10", _sim_bf)
+
+    def _sim_lsh():
+        from biomass_processing_pipeline_spark.operators.similarity import (
+            cosine_refine_topk, lsh_candidates,
+        )
+
+        return cosine_refine_topk(
+            lsh_candidates(emb10, q10), emb10, q10, k=5
+        ).count()
+
+    timed("sim_lsh_x10", _sim_lsh)
+
+    def _sim_ivf():
+        from biomass_processing_pipeline_spark.operators.similarity import (
+            cosine_refine_topk, ivf_candidates, train_centroids,
+        )
+
+        cents = train_centroids(emb10, n_centroids=16)
+        return cosine_refine_topk(
+            ivf_candidates(emb10, q10, cents, n_probe=4), emb10, q10, k=5
+        ).count()
+
+    timed("sim_ivf_x10", _sim_ivf)
+
     wf_out = tempfile.mkdtemp(prefix="bpp_sf1_wf_")
     try:
         n_wf = timed(
@@ -483,6 +601,8 @@ def run_sf1(cpus: int) -> dict:
     total = round(sum(timings.values()), 3)
     return {
         "metric": "sf1_suite_seconds", "value": total, "unit": "sec",
+        "calibration": {"start_iters_per_sec": cal_start,
+                        "end_iters_per_sec": _inline_calibration()},
         "queries": timings, "sf": 1.0, "cpus": cpus,
         "n_images": n_images, "n_assigned": n_assigned,
         "minhash_pairs": n_pairs, "workflow_rows": wf_rows,

@@ -76,17 +76,24 @@ def main() -> None:
         county_tile_assign(spark, fp, counties, tiles),
     )
     add(
-        "kNN ring join (phase 1 + exact fallback)",
-        "Small-side ring explode broadcast; partition-local top-k via "
-        "mapInPandas; exact brute-force fallback union for unprovable "
-        "points.",
+        "kNN local grid index (DEFAULT plan)",
+        "Map-only: broadcast packed-numpy target index; exact "
+        "ring-escalation top-k inside ONE mapInPandas over the points — "
+        "no join, no Exchange, no per-candidate rows.",
         knn_join(fp.limit(500), plots, k=10),
     )
     add(
-        "Fused kNN + weighted agg",
-        "Slim candidate stream into the map-side top-k, tiny broadcast "
-        "attrs join on the points x k output, JVM hash agg with map-side "
-        "partial combine -> ONE small shuffle; no points x k checkpoint.",
+        "kNN ring join (guarded fallback, local_index_threshold=0)",
+        "Small-side ring explode broadcast; partition-local top-k via "
+        "mapInPandas; exact brute-force fallback union for unprovable "
+        "points.",
+        knn_join(fp.limit(500), plots, k=10, local_index_threshold=0),
+    )
+    add(
+        "Fused kNN + weighted agg (DEFAULT local plan)",
+        "The A5/A6 weighted aggregation happens in the SAME numpy pass as "
+        "the top-k: one output row per point leaves the worker; the "
+        "points x k stream never exists anywhere.",
         knn_weighted_agg_fused(fp.limit(500), plots, ["attr_1"], k=10),
     )
     add(
