@@ -85,10 +85,11 @@ def parcel_cover_distributed(
     key_type = dict(parcels.dtypes)[key_col]
     schema = (
         f"{key_col} {key_type}, piece long, p_minx double, p_miny double, "
-        "p_maxx double, p_maxy double, is_rect boolean, cell_id long"
+        "p_maxx double, p_maxy double, is_rect boolean, cell_id long, "
+        "cell_ix long, cell_iy long"
     )
     cols = [key_col, "piece", "p_minx", "p_miny", "p_maxx", "p_maxy",
-            "is_rect", "cell_id"]
+            "is_rect", "cell_id", "cell_ix", "cell_iy"]
 
     def gen(batches):
         for pdf in batches:
@@ -101,7 +102,19 @@ def parcel_cover_distributed(
             )
             yield cover[cols]
 
-    return parcels.select(key_col, "geom_wkt").mapInPandas(gen, schema=schema)
+    src = parcels.select(key_col, "geom_wkt")
+    # Everything downstream of this cover (broadcast candidate join,
+    # anchor-cell dedup, piecewise area math, partial agg) is map-resident
+    # — there is no later exchange to restore parallelism. A small tier's
+    # parquet scan can collapse to a couple of splits, which would pin the
+    # whole J1 pipeline to that width; fan the SLIM 2-col input out first
+    # (20k-200k rows — nothing next to the 100M+ candidate stream the old
+    # dedup shuffle moved). At fact scale the scan already has >= cores
+    # splits and this is a no-op.
+    par = parcels.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    return src.mapInPandas(gen, schema=schema)
 
 
 def intersection_join(
@@ -182,6 +195,29 @@ def intersection_join(
     )
     cand = p_cover.join(F.broadcast(c_cover), "cell_id")
 
+    # Anchor-cell duplicate avoidance (the PBSM/"reference point"
+    # technique): a piece pair sharing M cover cells comes out of the
+    # equi-join M times. Both covers are CLOSED piece-BBOX covers
+    # (cover_pdf_from_geoms), so the bbox-intersection corner
+    # (max of the min edges) falls — with the SAME clamp/floor math as
+    # the cover build (ix_col/iy_col ≡ ixy_np op-for-op) — in a cell that
+    # is in BOTH covers, exactly once. Keeping only the row whose join
+    # cell IS that anchor cell dedups candidates map-side inside
+    # whole-stage codegen; the former dropDuplicates/distinct shuffled
+    # the full cell×piece-pair stream (measured 122M rows at the sf1
+    # tier) before any math ran — THE scale bottleneck at 100x. The
+    # comparison is per-AXIS against the cover row's numpy-decoded
+    # (cell_ix, cell_iy) — NOT cell_id == cell_id_col(anchor): the Column
+    # Morton interleave self-duplicates its operand subtree 2^5 times per
+    # axis, falls out of codegen, and interprets at ~50us/row (measured
+    # 196s over this same 122M-row join).
+    cand = cand.where(
+        (cells.ix_col(F.greatest("p_minx", "c_minx"), level)
+         == F.col("cell_ix"))
+        & (cells.iy_col(F.greatest("p_miny", "c_miny"), level)
+           == F.col("cell_iy"))
+    )
+
     if method == "native":
         native_cand = cand
         udf_pairs = None
@@ -200,10 +236,9 @@ def intersection_join(
     if native_cand is not None:
         # rect pieces PARTITION each polygon exactly, so
         # area(A∩B) = Σ over piece pairs of rect∩rect — pure column math,
-        # whole-stage codegen, no Python
-        piece_pairs = native_cand.dropDuplicates(
-            ["parcel_id", "piece", "class_poly_id", "c_piece"]
-        )
+        # whole-stage codegen, no Python; the anchor filter above already
+        # guarantees one row per (parcel piece, class piece) pair
+        piece_pairs = native_cand
         ix0 = F.greatest("p_minx", "c_minx")
         iy0 = F.greatest("p_miny", "c_miny")
         ix1 = F.least("p_maxx", "c_maxx")

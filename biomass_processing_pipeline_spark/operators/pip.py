@@ -142,6 +142,14 @@ def cover_pdf_from_geoms(
         pdf["p_maxx"] = bb[idx, 2]
         pdf["p_maxy"] = bb[idx, 3]
         pdf["is_rect"] = np.asarray(p_rect, dtype=bool)[idx]
+        # the cell's lattice coordinates, decoded here in numpy: the
+        # anchor-cell dedup filter compares plain floor() expressions
+        # against these (a native-Column Morton re-encode of the anchor
+        # point self-duplicates its operand tree 2^5 times per axis —
+        # measured to fall out of codegen into ~50us/row interpreted eval)
+        cix, ciy = cells.decode_np(cell_ids)
+        pdf["cell_ix"] = cix
+        pdf["cell_iy"] = ciy
     return pdf.drop_duplicates()
 
 

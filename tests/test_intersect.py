@@ -141,6 +141,77 @@ def test_intersection_join_mixed_routing(spark):
                 assert (pid, cid) not in got.index
 
 
+def test_intersection_join_multicell_anchor_dedup(spark):
+    """Piece pairs that share MANY cover cells must be counted once.
+
+    Candidate dedup is the map-side anchor-cell (reference-point) filter —
+    a pair sharing M cover cells leaves the equi-join M times and only the
+    row on the bbox-intersection-corner cell survives. 2-degree rects at
+    the default level-10 lattice (0.35-degree cells) overlap across dozens
+    of shared cells, so a duplicate-kept pair would inflate area_acres by
+    an integer factor and the closed-form oracle would catch it."""
+    prows, crows = [], []
+    for i, (x0, y0) in enumerate([(0.0, 0.0), (1.0, 0.5), (0.5, 1.0)]):
+        x1, y1 = x0 + 2.0, y0 + 2.0
+        prows.append({
+            "parcel_id": f"p{i}", "fips": "06001", "acres": 1.0,
+            "minx": x0, "miny": y0, "maxx": x1, "maxy": y1,
+            "geom_wkt": (f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, "
+                         f"{x0} {y1}, {x0} {y0}))"),
+        })
+    for j, (x0, y0) in enumerate([(0.2, 0.1), (1.3, 1.2)]):
+        x1, y1 = x0 + 1.5, y0 + 1.5
+        crows.append({
+            "class_poly_id": j + 1, "class_code": 1,
+            "minx": x0, "miny": y0, "maxx": x1, "maxy": y1,
+            "geom_wkt": (f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, "
+                         f"{x0} {y1}, {x0} {y0}))"),
+        })
+    parcels = pd.DataFrame(prows)
+    cpolys = pd.DataFrame(crows)
+    got = (
+        intersection_join(spark, parcels, cpolys)
+        .toPandas()
+        .sort_values(["parcel_id", "class_poly_id"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        _oracle_pairs(parcels, cpolys)
+        .sort_values(["parcel_id", "class_poly_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) and len(exp) == 6  # every pair overlaps
+    assert np.allclose(got.area_acres.values, exp.area_acres.values, rtol=1e-6)
+
+
+def test_intersection_join_plan_has_no_dedup_shuffle(spark):
+    """The candidate stream must reach the area math without a
+    dropDuplicates aggregate: no HashAggregate in the plan may key on the
+    piece-pair columns (the former dedup shuffled the full cell x
+    piece-pair stream — 122M rows at the sf1 tier — before any math)."""
+    parcels = spark.createDataFrame(pd.DataFrame([{
+        "parcel_id": "p0", "fips": "06001", "acres": 1.0,
+        "geom_wkt": "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+    }]))
+    cpolys = pd.DataFrame([{
+        "class_poly_id": 1, "class_code": 1,
+        "geom_wkt": "POLYGON ((0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))",
+    }])
+    out = intersection_join(spark, parcels, cpolys, method="native")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "HashAggregate(keys=" in line:
+            keys = line.split("HashAggregate(keys=[")[1].split("]")[0]
+            assert "c_piece" not in keys and "piece" not in keys, line
+    # and the anchor filter itself must be present as a pure-column
+    # predicate: per-axis floor(greatest(...)) equality against the
+    # cover's decoded lattice coords — NOT a Morton re-encode ("shiftleft"
+    # would mean the self-duplicating interleave tree is back in the
+    # filter, which measured ~50us/row interpreted at the sf1 tier)
+    assert "greatest(p_minx" in plan and "cell_ix" in plan
+    assert "shiftleft" not in plan
+
+
 def test_crop_rollup_and_dominant(spark, smoke_dir):
     parcels = pd.read_parquet(f"{smoke_dir}/parcels.parquet").head(60)
     cpolys = pd.read_parquet(f"{smoke_dir}/class_polygons.parquet")
