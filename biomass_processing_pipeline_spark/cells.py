@@ -70,7 +70,18 @@ def iy_col(lat: Column, level: int) -> Column:
 
 
 def cell_id_col(lon: Column, lat: Column, level: int = DEFAULT_LEVEL) -> Column:
-    """Morton cell id as a pure Column expression (no Python in the loop)."""
+    """Morton cell id as a pure Column expression (no Python in the loop).
+
+    Feed PLAIN COLUMN REFERENCES only. Each magic step references its
+    operand twice, so the expression tree embeds 2^5 copies of ``lon``/
+    ``lat`` per axis: with a leaf ref that stays codegen'd (plan-gated in
+    test_plans), but a composite operand (e.g. ``greatest(a, b)``) blows
+    the tree past the codegen limit and Spark falls back to interpreted
+    eval at ~50us/row — measured 196 s over a 122M-row join in round 5
+    (intersect.py's anchor filter compares per-axis ix_col/iy_col against
+    numpy-decoded lattice coords instead). Compute composite inputs into
+    a real column first, then index that.
+    """
     ix = _part1by1_col(ix_col(lon, level))
     iy = _part1by1_col(iy_col(lat, level))
     return ix.bitwiseOR(F.shiftleft(iy, 1))
