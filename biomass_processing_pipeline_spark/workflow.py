@@ -61,10 +61,18 @@ def biomass_result_table(spark: SparkSession, fixture_dir: str,
     if fp is None:
         fp = with_footprint(images.select("image_id"))
     dicts = build_dictionaries(spark, counties)
-    assigned = county_tile_assign(spark, fp, counties, tiles, dicts=dicts)
+    # every 2M-row join below is keyed on the compact long `seq` (globally
+    # unique: image_id embeds it), not the 25-char image_id string — long
+    # keys pay ~3x less in every exchange + sort-merge sort, and the fused
+    # kNN output needs no join-back at all. image_id rides along on the
+    # decode branch (derived natively, no extra pass) and is restored as
+    # the leading output column so the result schema is unchanged.
+    assigned = county_tile_assign(spark, fp, counties, tiles, dicts=dicts,
+                                  point_key="seq")
 
     partials = decode_partials(images)
     per_image = partials.select(
+        F.element_at(F.split("image_id", "_"), -1).cast("long").alias("seq"),
         "image_id", "phash_ok", "px_count",
         (F.col("sum_r") / F.col("px_count")).alias("mean_r"),
         (F.col("sum_g") / F.col("px_count")).alias("mean_g"),
@@ -82,18 +90,18 @@ def biomass_result_table(spark: SparkSession, fixture_dir: str,
     plots_f = plots.withColumn(
         "stand_age_yrs", (20 + F.pmod(F.col("plot_cn"), F.lit(80))).cast("double")
     ).withColumn("forest_type", F.pmod(F.col("plot_cn"), F.lit(4)).cast("int"))
-    # kNN shuffle/sort key = the compact long `seq`, not the 25-char
-    # image_id string (measured ~2-3x on the kNN stage at sf0.1 — string
-    # keys pay in every exchange, sort and pandas groupby); image_id joins
-    # back on the one-row-per-point output
+    # kNN shuffle/sort key = `seq` (measured ~2-3x on the kNN stage at
+    # sf0.1 — string keys pay in every exchange, sort and pandas groupby);
+    # the one-row-per-point output joins the rest of the DAG on seq
+    # directly, so the former image_id join-back is gone entirely.
     wagg = knn_weighted_agg_fused(
         fp.drop("image_id"), plots_f,
         ["attr_1", "attr_2", "attr_3", "stand_age_yrs"],
         k=k_neighbors, point_key="seq", mode_attr="forest_type",
-    ).join(fp.select("image_id", "seq"), "seq").drop("seq")
+    )
 
     veg = per_image.select(
-        "image_id", "phash_ok", "px_count", "ndvi_mean",
+        "seq", "image_id", "phash_ok", "px_count", "ndvi_mean",
         F.round(BF.evi(F.col("mean_nir"), F.col("mean_r"),
                        F.col("mean_g")), 6).alias("evi"),
         F.round(BF.savi(F.col("mean_nir"), F.col("mean_r")), 6).alias("savi"),
@@ -102,8 +110,8 @@ def biomass_result_table(spark: SparkSession, fixture_dir: str,
     )
 
     out = (
-        assigned.join(veg, "image_id")
-        .join(wagg, "image_id")
+        assigned.join(veg, "seq")
+        .join(wagg, "seq")
         .withColumn("biomass_mult", BF.ndvi_biomass_multiplier(F.col("ndvi_mean")))
         .withColumn(
             "standing_biomass_tons",
@@ -185,7 +193,11 @@ def biomass_result_table(spark: SparkSession, fixture_dir: str,
             )),
         )
     )
-    return out
+    # restore the public schema: image_id leads, the internal seq key is
+    # dropped — column order is byte-identical to the pre-seq-key version.
+    return out.select(
+        "image_id", *[c for c in out.columns if c not in ("image_id", "seq")]
+    )
 
 
 def run_county_workflow(spark: SparkSession, tier: str, out_dir: str,
@@ -212,11 +224,14 @@ def run_county_workflow(spark: SparkSession, tier: str, out_dir: str,
         load_images(spark, d).select("image_id")
     )
     result = biomass_result_table(spark, d, fp=fp)
+    # bucket key: recompute cell_id from image_id map-side (with_footprint
+    # is a deterministic derivation — regex + one Arrow pass) instead of
+    # shuffle-joining the 2M-row footprint frame back in; zero exchanges.
     bucketed = (
-        result.join(fp.select("image_id", "cell_id"), "image_id")
+        with_footprint(result)
         .transform(lambda df: with_cell_prefix(df, prefix_level=prefix_level))
         .withColumnRenamed("cell_prefix", "bucket")
-        .drop("cell_id")
+        .drop("tx", "ty", "band", "seq", "lon", "lat", "cell_id")
     )
     census = skew_census(
         fp.transform(lambda df: with_cell_prefix(df, prefix_level=prefix_level))
