@@ -213,6 +213,17 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         zones = spark.read.parquet(f"{fdir}/golden_image_county.parquet")
         return zonal_band_stats(decode_partials(images), zones).count()
 
+    # untimed first-touch pass for the only blob-heavy leg (duration
+    # disclosed below): a fresh JVM's first multi-GB binary Arrow transfer
+    # pays one-time page-fault/allocation cost in this VM — measured
+    # 226/35/15/8/9 s across reps of an UNCHANGED plan on an idle host
+    # (round-5 probe), i.e. up to 28x the ~8 s steady state. Steady-state
+    # throughput is the metric (a real executor runs decode thousands of
+    # times per lifetime); hiding the cold rep without disclosure would
+    # overstate the window, hence blob_first_touch_s in the output.
+    _t_cold = time.time()
+    _zonal()
+    blob_first_touch = round(time.time() - _t_cold, 3)
     timed("zonal", _zonal, repeats=2)
 
     def _intersect():
@@ -272,6 +283,9 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         # single measurement ~3x (CLAUDE.md), so the min alone hides how
         # noisy the window was — the spread lets a reader judge it
         "queries_raw": timings_raw,
+        # cold-JVM first blob pass (untimed in queries.zonal; see comment
+        # at the warm-up site)
+        "blob_first_touch_s": blob_first_touch,
     }
 
 
