@@ -70,6 +70,10 @@ def _emb_x10(spark, sf_dir: str):
         "vec_id", "embedding"
     )
     dim = len(emb.select("embedding").head()[0])
+    # shard id offset derived from the ACTUAL id range — a hardcoded 1e6
+    # stride would silently collide vec_ids across shards on any tier with
+    # >1M vectors, corrupting the top-k ground truth
+    stride = int(emb.agg(F.max("vec_id")).head()[0]) + 1
     shards = []
     for i in range(10):
         rolled = F.expr(
@@ -77,7 +81,7 @@ def _emb_x10(spark, sf_dir: str):
             f"slice(embedding, 1, {i}))"
         ) if i else F.col("embedding")
         shards.append(emb.select(
-            (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
+            (F.col("vec_id") + F.lit(i * stride)).alias("vec_id"),
             rolled.alias("embedding"),
         ))
     out = shards[0]

@@ -44,8 +44,18 @@ from biomass_processing_pipeline_spark import cells
 
 
 def distance_deg(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
-    """Euclidean degree distance (reference ``distance_degrees``)."""
-    return F.sqrt(F.pow(lon1 - lon2, 2) + F.pow(lat1 - lat2, 2))
+    """Euclidean degree distance (reference ``distance_degrees``).
+
+    sqrt(dx*dx + dy*dy) with PLAIN multiplies: IEEE multiply and sqrt are
+    correctly rounded in the JVM, numpy, and DuckDB alike, so every plan
+    (local grid index, exploded ring, brute-force golden, SQL oracle)
+    computes bit-identical distances and the rank-k target can never
+    depend on which physical plan ran. Math.pow(x, 2) / np.hypot carry a
+    1-ulp licence that would let plans disagree on engineered near-ties.
+    """
+    dx = lon1 - lon2
+    dy = lat1 - lat2
+    return F.sqrt(dx * dx + dy * dy)
 
 
 def _build_target_index(targets: DataFrame, target_key: str, level: int,
@@ -60,6 +70,13 @@ def _build_target_index(targets: DataFrame, target_key: str, level: int,
     it costs O(n_targets) broadcast bytes instead of
     O(n_targets x ring_cells) join rows, and the candidate stream never
     crosses the JVM<->Arrow boundary at all.
+
+    Lifetime of the ``sc.broadcast`` built from this index: the result
+    DataFrame's closure is the only reference, so when the caller drops
+    the result, driver GC releases the py4j handle and Spark's
+    ContextCleaner evicts the executor blocks — the same collection
+    discipline as SQL's managed broadcasts, bounded by live result
+    DataFrames rather than by app lifetime.
     """
     pdf = targets.toPandas()
     lon = pdf["t_lon"].to_numpy(np.float64)
@@ -159,8 +176,11 @@ def _brute_pairs(plon: np.ndarray, plat: np.ndarray, idx: dict, kk: int):
     pool_pt, pool_tg, pool_d = [], [], []
     for s in range(0, n_t, chunk):
         e = min(n_t, s + chunk)
-        d = np.hypot(idx["lon"][s:e][None, :] - plon[:, None],
-                     idx["lat"][s:e][None, :] - plat[:, None]).ravel()
+        # same sqrt(dx*dx + dy*dy) arithmetic as distance_deg: bit-parity
+        # across plans (np.hypot is allowed to differ by 1 ulp)
+        dx = idx["lon"][s:e][None, :] - plon[:, None]
+        dy = idx["lat"][s:e][None, :] - plat[:, None]
+        d = np.sqrt(dx * dx + dy * dy).ravel()
         pt = np.repeat(np.arange(m), e - s)
         tg = np.tile(np.arange(s, e), m)
         sel, _, _, _ = _seg_topk(pt, d, idx["key_rank"][tg], kk, m)
@@ -201,8 +221,9 @@ def _grid_topk_pairs(plon: np.ndarray, plat: np.ndarray, idx: dict, k: int,
             out.append((active[bp], bt, bd, br))
             break
         cp, ct = _gather_ring(idx["lin"], w, pix[active], piy[active], r)
-        d = np.hypot(idx["lon"][ct] - plon[active][cp],
-                     idx["lat"][ct] - plat[active][cp])
+        dx = idx["lon"][ct] - plon[active][cp]
+        dy = idx["lat"][ct] - plat[active][cp]
+        d = np.sqrt(dx * dx + dy * dy)
         sel, rank, cnt, kth = _seg_topk(
             cp, d, idx["key_rank"][ct], kk, active.size
         )
@@ -376,7 +397,15 @@ def knn_join(
         F.min("lon").alias("x0"), F.max("lon").alias("x1"),
         F.min("lat").alias("y0"), F.max("lat").alias("y1"),
     ).collect()[0]
-    n_targets = max(int(stats_row.n), 1)
+    if int(stats_row.n) == 0:
+        # kNN over zero targets = zero neighbor rows (the bbox stats below
+        # are NULL and would raise in the density arithmetic)
+        return points.sparkSession.createDataFrame([], T.StructType([
+            points.schema[point_key], targets.schema[target_key],
+            T.StructField("distance", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]))
+    n_targets = int(stats_row.n)
     # density-based sizing: a guaranteed disc expected to hold ~1.5k
     # targets, so phase 1 completes almost every point (the reference sizes
     # its search radius the same way — a fixed 0.1 deg default tuned to FIA
@@ -385,7 +414,7 @@ def knn_join(
     density = max(n_targets / area, 1e-9)
     r_needed = float(np.sqrt(1.5 * k / (np.pi * density)))
     if (level is None and init_ring is None
-            and 0 < n_targets <= local_index_threshold):
+            and n_targets <= local_index_threshold):
         return _local_knn_join(
             points, targets, k, _auto_level(r_needed), point_key,
             target_key, r_needed,
@@ -394,7 +423,7 @@ def knn_join(
         # auto level: cell height ~ r_needed/3 keeps the ring-rounding
         # overshoot <= (4/3)^2 in candidate count while the ring table
         # (targets x (2r+1)^2) stays broadcastable
-        level = int(np.clip(np.ceil(np.log2(540.0 / r_needed)), 4, 20))
+        level = _auto_level(r_needed)
         while n_targets * (2 * max(1, int(np.ceil(
                 r_needed / (180.0 / (1 << level))))) + 1) ** 2 > 2_000_000 \
                 and level > 4:
@@ -588,18 +617,28 @@ def knn_weighted_agg_fused(
         F.min("lon").alias("x0"), F.max("lon").alias("x1"),
         F.min("lat").alias("y0"), F.max("lat").alias("y1"),
     ).collect()[0]
-    n_targets = max(int(stats_row.n), 1)
+    if int(stats_row.n) == 0:
+        # zero targets -> zero aggregate rows (NULL bbox stats would raise
+        # in the density arithmetic below)
+        fields = [points.schema[point_key],
+                  T.StructField("sum_w", T.DoubleType()),
+                  T.StructField("n_neighbors", T.LongType())]
+        fields += [T.StructField(f"w_{a}", T.DoubleType()) for a in attrs]
+        if mode_attr:
+            fields.append(T.StructField(
+                f"mode_{mode_attr}", targets.schema[mode_attr].dataType))
+        return points.sparkSession.createDataFrame([], T.StructType(fields))
+    n_targets = int(stats_row.n)
     area = max((stats_row.x1 - stats_row.x0) * (stats_row.y1 - stats_row.y0), 1e-9)
     density = max(n_targets / area, 1e-9)
     r_needed = float(np.sqrt(1.5 * k / (np.pi * density)))
-    if (level is None and int(stats_row.n) > 0
-            and n_targets <= local_index_threshold):
+    if level is None and n_targets <= local_index_threshold:
         return _local_fused(
             points, targets, attrs, k, _auto_level(r_needed), point_key,
             target_key, eps, mode_attr, r_needed,
         )
     if level is None:
-        level = int(np.clip(np.ceil(np.log2(540.0 / r_needed)), 4, 20))
+        level = _auto_level(r_needed)
         while n_targets * (2 * max(1, int(np.ceil(
                 r_needed / (180.0 / (1 << level))))) + 1) ** 2 > 2_000_000 \
                 and level > 4:

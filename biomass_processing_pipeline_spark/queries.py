@@ -1940,7 +1940,13 @@ def q_upsert_semantics(spark, sf_dir):
             F.lit("Y").alias("status"), F.lit(2).alias("seq"),
         )
     )
-    root = _os.path.join(tempfile.gettempdir(), "bpp_upsert_q")
+    # pid-scoped: a FIXED path would let two concurrent gate runs (pytest
+    # alongside check_oracles) rmtree each other's live table mid-upsert;
+    # wipe-on-entry keeps reruns in one process idempotent, atexit keeps
+    # /tmp residue-free either way.
+    root = _os.path.join(
+        tempfile.gettempdir(), f"bpp_upsert_q_{_os.getpid()}"
+    )
     _shutil.rmtree(root, ignore_errors=True)
     _os.makedirs(root, exist_ok=True)
     atexit.register(_shutil.rmtree, root, ignore_errors=True)

@@ -123,86 +123,104 @@ def upsert_parquet(
             new.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1).drop("_rn", seq_col)
         )
-    else:
-        dup = (
-            new.groupBy(*key_cols).count()
-            .where(F.col("count") > 1).limit(1).count()
-        )
-        if dup:
-            raise ValueError(
-                "upsert batch contains duplicate keys and no seq_col: "
-                "keep-latest is undefined without an explicit precedence "
-                f"(keys={key_cols}; pass seq_col=... to pick last-wins)"
+
+    # ONE materialization of the batch serves every consumer below (the
+    # dup-key guard, the touched-bucket collect, the anti-join key set,
+    # the staged write) — each is a separate Spark job that would
+    # otherwise recompute the batch's entire upstream lineage.
+    # MEMORY_AND_DISK (not localCheckpoint) so a lost executor recomputes
+    # the block instead of failing the upsert.
+    from pyspark import StorageLevel
+
+    new = new.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        if seq_col is None:
+            dup = (
+                new.groupBy(*key_cols).count()
+                .where(F.col("count") > 1).limit(1).count()
             )
+            if dup:
+                raise ValueError(
+                    "upsert batch contains duplicate keys and no seq_col: "
+                    "keep-latest is undefined without an explicit "
+                    f"precedence (keys={key_cols}; pass seq_col=... to "
+                    "pick last-wins)"
+                )
 
-    obs = Observation("upsert_rows")
-    meta_path = os.path.join(path, "_upsert_meta.json")
-    if os.path.exists(path):
-        _repair_pending_upsert(path)
-    exists = os.path.exists(path)
-    if not exists:
-        first = new.withColumn(UPSERT_BUCKET_COL,
+        obs = Observation("upsert_rows")
+        meta_path = os.path.join(path, "_upsert_meta.json")
+        if os.path.exists(path):
+            _repair_pending_upsert(path)
+        exists = os.path.exists(path)
+        if not exists:
+            first = new.withColumn(UPSERT_BUCKET_COL,
+                                   _upsert_bucket(key_cols, n_buckets))
+            (
+                first.observe(obs, F.count(F.lit(1)).alias("n"))
+                .write.mode("overwrite")
+                .partitionBy(UPSERT_BUCKET_COL).parquet(path)
+            )
+            with open(meta_path, "w") as fh:
+                json.dump({"n_buckets": n_buckets, "key_cols": key_cols}, fh)
+            return int(obs.get["n"])
+
+        old = spark.read.parquet(path)
+        if UPSERT_BUCKET_COL not in old.columns:
+            raise ValueError(
+                f"{path} is not an upsert table (missing {UPSERT_BUCKET_COL} "
+                "partition layout)"
+            )
+        # the bucket count is a property of the EXISTING layout (hashing
+        # with a different modulus would strand a key's old row in another
+        # bucket) — read it back from the table's metadata, ignoring the
+        # parameter
+        with open(meta_path) as fh:
+            n_buckets = int(json.load(fh)["n_buckets"])
+        new_b = new.withColumn(UPSERT_BUCKET_COL,
                                _upsert_bucket(key_cols, n_buckets))
+        # the touched-bucket set is at most n_buckets values — a tiny
+        # collect
+        touched = sorted(
+            r[0]
+            for r in new_b.select(UPSERT_BUCKET_COL).distinct().collect()
+        )
+        # partition-pruned scan: only touched bucket directories are read
+        keep = (
+            old.where(F.col(UPSERT_BUCKET_COL).isin(touched))
+            .join(new.select(*key_cols).distinct(), key_cols, "left_anti")
+        )
+        merged = keep.unionByName(new_b)
+        tmp = path.rstrip("/") + "._staged"
         (
-            first.observe(obs, F.count(F.lit(1)).alias("n"))
+            merged.observe(obs, F.count(F.lit(1)).alias("n"))
             .write.mode("overwrite")
-            .partitionBy(UPSERT_BUCKET_COL).parquet(path)
+            .partitionBy(UPSERT_BUCKET_COL).parquet(tmp)
         )
-        with open(meta_path, "w") as fh:
-            json.dump({"n_buckets": n_buckets, "key_cols": key_cols}, fh)
-        return int(obs.get["n"])
-
-    old = spark.read.parquet(path)
-    if UPSERT_BUCKET_COL not in old.columns:
-        raise ValueError(
-            f"{path} is not an upsert table (missing {UPSERT_BUCKET_COL} "
-            "partition layout)"
-        )
-    # the bucket count is a property of the EXISTING layout (hashing with a
-    # different modulus would strand a key's old row in another bucket) —
-    # read it back from the table's metadata, ignoring the parameter
-    with open(meta_path) as fh:
-        n_buckets = int(json.load(fh)["n_buckets"])
-    new_b = new.withColumn(UPSERT_BUCKET_COL,
-                           _upsert_bucket(key_cols, n_buckets))
-    # the touched-bucket set is at most n_buckets values — a tiny collect
-    touched = sorted(
-        r[0] for r in new_b.select(UPSERT_BUCKET_COL).distinct().collect()
-    )
-    # partition-pruned scan: only touched bucket directories are read
-    keep = (
-        old.where(F.col(UPSERT_BUCKET_COL).isin(touched))
-        .join(new.select(*key_cols).distinct(), key_cols, "left_anti")
-    )
-    merged = keep.unionByName(new_b)
-    tmp = path.rstrip("/") + "._staged"
-    (
-        merged.observe(obs, F.count(F.lit(1)).alias("n"))
-        .write.mode("overwrite")
-        .partitionBy(UPSERT_BUCKET_COL).parquet(tmp)
-    )
-    touched_rows = int(obs.get["n"])
-    # untouched row count is parquet footer metadata, not a data pass
-    untouched_rows = old.where(
-        ~F.col(UPSERT_BUCKET_COL).isin(touched)
-    ).count()
-    # intent marker BEFORE the swap loop (atomic tmp-file replace): a crash
-    # between any two renames leaves the marker behind, and readers /
-    # retries roll the swap forward instead of seeing a half-applied batch
-    pend = os.path.join(path, "_PENDING.json")
-    with open(pend + ".tmp", "w") as fh:
-        json.dump({"touched": touched, "staged": tmp}, fh)
-    os.replace(pend + ".tmp", pend)
-    for b in touched:
-        src = os.path.join(tmp, f"{UPSERT_BUCKET_COL}={b}")
-        dst = os.path.join(path, f"{UPSERT_BUCKET_COL}={b}")
-        if os.path.exists(dst):
-            shutil.rmtree(dst)
-        if os.path.exists(src):  # every touched bucket has >=1 new row
-            os.rename(src, dst)
-    shutil.rmtree(tmp)
-    os.remove(pend)  # commit point: swap fully applied
-    return touched_rows + untouched_rows
+        touched_rows = int(obs.get["n"])
+        # untouched row count is parquet footer metadata, not a data pass
+        untouched_rows = old.where(
+            ~F.col(UPSERT_BUCKET_COL).isin(touched)
+        ).count()
+        # intent marker BEFORE the swap loop (atomic tmp-file replace): a
+        # crash between any two renames leaves the marker behind, and
+        # readers / retries roll the swap forward instead of seeing a
+        # half-applied batch
+        pend = os.path.join(path, "_PENDING.json")
+        with open(pend + ".tmp", "w") as fh:
+            json.dump({"touched": touched, "staged": tmp}, fh)
+        os.replace(pend + ".tmp", pend)
+        for b in touched:
+            src = os.path.join(tmp, f"{UPSERT_BUCKET_COL}={b}")
+            dst = os.path.join(path, f"{UPSERT_BUCKET_COL}={b}")
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            if os.path.exists(src):  # every touched bucket has >=1 new row
+                os.rename(src, dst)
+        shutil.rmtree(tmp)
+        os.remove(pend)  # commit point: swap fully applied
+        return touched_rows + untouched_rows
+    finally:
+        new.unpersist()
 
 
 def append_detail(df: DataFrame, path: str) -> None:

@@ -203,7 +203,17 @@ def run_image_driftdedup_stream(
 
         sigs, tss = state.get if state.exists else ([], [])
         sigs, tss = list(sigs), list(tss)
-        for pdf in pdfs:
+        # one tile's micro-batch can arrive as SEVERAL Arrow chunks
+        # (arrow.maxRecordsPerBatch); sorting each chunk independently
+        # would gate out of event-time order and hand drift_gate_core a
+        # non-monotonic kept-ts list (its suffix eviction assumes
+        # nondecreasing appends). Materialize the group — bounded by one
+        # tile x one micro-batch — and sort ONCE.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(
+                chunks, ignore_index=True
+            )
             pdf = pdf.sort_values("ts", kind="stable")
             ph = pdf["phash"].to_numpy(np.int64)
             t_s = (pdf["ts"].astype("int64") // 10**9).to_numpy()

@@ -99,7 +99,12 @@ def test_knn_local_escalation_and_small_target_sets(spark):
         ).toPandas().sort_values(["image_id", "rank"]).reset_index(drop=True)
         rows = []
         for r in p.itertuples(index=False):
-            d = np.hypot(t.lon.to_numpy() - r.lon, t.lat.to_numpy() - r.lat)
+            # golden uses the engine-wide sqrt(dx*dx + dy*dy) form so a
+            # rank flip from a formula drift (e.g. hypot's 1-ulp licence)
+            # is detectable, not absorbed by the tolerance
+            dxg = t.lon.to_numpy() - r.lon
+            dyg = t.lat.to_numpy() - r.lat
+            d = np.sqrt(dxg * dxg + dyg * dyg)
             order = np.lexsort((t.plot_cn.to_numpy(), d))[:k]
             for rk, oi in enumerate(order):
                 rows.append((r.image_id, int(t.plot_cn[oi]), float(d[oi]), rk + 1))
@@ -131,3 +136,28 @@ def test_knn_local_partitioning_independent(spark):
             .sort_values(["image_id", "rank"]).reset_index(drop=True)
         )
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+
+def test_knn_empty_targets(spark):
+    """Zero targets -> zero result rows with the correct schema (the bbox
+    stats are NULL and must not reach the density arithmetic)."""
+    import pandas as pd
+
+    from biomass_processing_pipeline_spark.operators.knn import (
+        knn_join, knn_weighted_agg_fused,
+    )
+
+    pts = spark.createDataFrame(pd.DataFrame({
+        "image_id": ["a", "b"], "lon": [0.0, 1.0], "lat": [0.0, 1.0],
+    }))
+    tgts = spark.createDataFrame(
+        [], "plot_cn long, lon double, lat double, attr_1 double")
+    j = knn_join(pts, tgts, k=3)
+    assert j.count() == 0
+    assert [f.name for f in j.schema] == [
+        "image_id", "plot_cn", "distance", "rank"]
+    a = knn_weighted_agg_fused(pts, tgts, ["attr_1"], k=3)
+    assert a.count() == 0
+    assert [f.name for f in a.schema] == [
+        "image_id", "sum_w", "n_neighbors", "w_attr_1"]

@@ -285,3 +285,47 @@ def test_streaming_image_drift_dedup_matches_greedy_reference(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_streaming_drift_gate_group_spans_arrow_chunks(spark):
+    """A tile group LARGER than one Arrow record batch must be gated in
+    global event-time order. Regression: sorting each chunk of the
+    applyInPandasWithState iterator independently let a LATER capture
+    claim the kept slot when the earliest event sat in a later chunk
+    (file order here is ts-DESCENDING, so the greedy winner is in the
+    final chunk)."""
+    import pandas as pd
+
+    from biomass_processing_pipeline_spark.streaming.dedup import (
+        run_image_driftdedup_stream,
+    )
+
+    src = tempfile.mkdtemp(prefix="bpp_sdc_src_")
+    out = tempfile.mkdtemp(prefix="bpp_sdc_out_")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        n = 14  # 14 rows / chunks of 4 -> the min-ts row is in chunk 4
+        rows = pd.DataFrame({
+            "image_id": [f"c{i:02d}" for i in range(n)],
+            # ts DESCENDING in file/arrival order; all same tile + phash
+            "ts": pd.to_datetime(2_000_000 - 1000 * pd.RangeIndex(n),
+                                 unit="s"),
+            "tile_code": ["T01"] * n,
+            "phash": [0x5A5A_5A5A] * n,
+        })
+        spark.createDataFrame(rows).coalesce(1).write.mode(
+            "overwrite").parquet(f"{src}/a")
+        for f in glob.glob(f"{src}/a/part-*.parquet"):
+            shutil.copy(f, os.path.join(src, "0.parquet"))
+
+        got = run_image_driftdedup_stream(
+            spark, src, out, max_hamming=2, horizon_sec=10_000_000,
+        ).toPandas()
+        # identical sigs within the horizon: exactly one survivor, and it
+        # must be the EARLIEST event (c13, the last row of the file)
+        assert list(got.image_id) == [f"c{n - 1:02d}"]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
