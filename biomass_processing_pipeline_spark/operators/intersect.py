@@ -211,9 +211,18 @@ def intersection_join(
     # Morton interleave self-duplicates its operand subtree 2^5 times per
     # axis, falls out of codegen, and interprets at ~50us/row (measured
     # 196s over this same 122M-row join).
+    # …and bbox-disjoint piece pairs are pruned in the SAME codegen stage:
+    # two pieces can share a cover cell without their bboxes overlapping
+    # (each clips a different corner of the cell). >= keeps touching
+    # bboxes — their intersection is zero-area and falls to the area math
+    # either way, so this prunes only provably-empty pairs.
     cand = cand.where(
-        (cells.ix_col(F.greatest("p_minx", "c_minx"), level)
-         == F.col("cell_ix"))
+        (F.col("p_maxx") >= F.col("c_minx"))
+        & (F.col("c_maxx") >= F.col("p_minx"))
+        & (F.col("p_maxy") >= F.col("c_miny"))
+        & (F.col("c_maxy") >= F.col("p_miny"))
+        & (cells.ix_col(F.greatest("p_minx", "c_minx"), level)
+           == F.col("cell_ix"))
         & (cells.iy_col(F.greatest("p_miny", "c_miny"), level)
            == F.col("cell_iy"))
     )
