@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from biomass_processing_pipeline_spark import cells
+from biomass_processing_pipeline_spark.synth import URBAN_CODES
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -1957,6 +1958,144 @@ def q_upsert_semantics(spark, sf_dir):
     return read_upsert_parquet(spark, out)
 
 
+def _rect_class_rows() -> list[tuple[int, int, float, float, float, float]]:
+    """Deterministic class-polygon rectangles (id, code, x0, y0, x1, y1) —
+    the single source of truth for BOTH the Spark-side dictionary and the
+    DuckDB twin's VALUES literal. Codes cycle through the crop coefficients
+    plus two URBAN codes so the F1 filter is exercised; sizes span 3-6
+    level-10 cells per axis so every pair shares MANY cover cells and the
+    anchor-cell dedup must pick exactly one. All coordinates are multiples
+    of 1/32 deg — exactly representable, so both engines compute the
+    piecewise intersection math on identical doubles."""
+    codes = [1, 5, 24, 36, 2, 4, 21, 27, 28, 31, 111, 121]
+    rows = []
+    for j in range(24):
+        x0 = -10.0 + (j % 12) * 1.5
+        y0 = 30.0 + (j % 8) * 0.75
+        x1 = x0 + 1.0 + (j % 3) * 0.5
+        y1 = y0 + 0.5 + (j % 4) * 0.25
+        rows.append((j, codes[j % len(codes)], x0, y0, x1, y1))
+    # four SAME-CODE polys offset half-overlapping the first four, so some
+    # (parcel, class_code) groups aggregate n_polys > 1 distinct polygons
+    # (the per-code SUM is then a real float-order-insensitive check)
+    for j in range(24, 28):
+        b = j - 24
+        x0 = -10.0 + b * 1.5 + 0.5
+        y0 = 30.0 + b * 0.75 + 0.25
+        rows.append((j, codes[b], x0, y0, x0 + 1.0, y0 + 0.5))
+    return rows
+
+
+def q_intersect_rect(spark, sf_dir):
+    """J1 polygon x polygon intersection join, end-to-end through the
+    production operator (distributed mapInPandas parcel cover -> broadcast
+    class-cover equi-join -> map-side anchor-cell dedup + bbox prune ->
+    whole-stage-codegen piecewise area -> F4 min-acres + F1 urban filters),
+    DuckDB-oracled: axis-aligned parcels derived from ``customer`` on a
+    1/32-deg lattice make the exact area SQL-expressible, while parcels up
+    to 1.25 x 0.875 deg (4 x 5 level-10 cells) force multi-cell covers —
+    a surviving equi-join duplicate would inflate the summed area and
+    break the value hash. Reference semantics: ST_Intersection area per
+    (parcel, CDL polygon) pair (database_config_v3.py:82-92)."""
+    import pandas as pd
+
+    from biomass_processing_pipeline_spark.operators.intersect import (
+        intersection_join,
+    )
+
+    k = F.col("c_custkey")
+    x0 = F.lit(-10.0) + (k % 37) * F.lit(0.5)
+    y0 = F.lit(30.0) + (k % 23) * F.lit(0.25)
+    x1 = x0 + F.lit(0.25) + (k % 5) * F.lit(0.25)
+    y1 = y0 + F.lit(0.125) + (k % 7) * F.lit(0.125)
+    wkt = F.format_string(
+        "POLYGON((%.5f %.5f, %.5f %.5f, %.5f %.5f, %.5f %.5f, %.5f %.5f))",
+        x0, y0, x1, y0, x1, y1, x0, y1, x0, y0,
+    )
+    parcels = _t(spark, sf_dir, "customer").select(
+        k.alias("parcel_id"), (k % 5).alias("fips"),
+        F.lit(1.0).alias("acres"), wkt.alias("geom_wkt"),
+    )
+    cls = pd.DataFrame(
+        _rect_class_rows(),
+        columns=["class_poly_id", "class_code", "x0", "y0", "x1", "y1"],
+    )
+    cls["geom_wkt"] = [
+        f"POLYGON(({r.x0:.5f} {r.y0:.5f}, {r.x1:.5f} {r.y0:.5f}, "
+        f"{r.x1:.5f} {r.y1:.5f}, {r.x0:.5f} {r.y1:.5f}, "
+        f"{r.x0:.5f} {r.y0:.5f}))"
+        for r in cls.itertuples()
+    ]
+    res = intersection_join(
+        spark, parcels, cls[["class_poly_id", "class_code", "geom_wkt"]],
+        min_acres=5000.0,
+    )
+    return (
+        res.groupBy("parcel_id", "class_code")
+        .agg(
+            F.round(F.sum("area_acres"), 2).alias("area_acres_r"),
+            F.count("*").alias("n_polys"),
+        )
+        .orderBy("parcel_id", "class_code")
+    )
+
+
+def _sql_intersect_rect() -> str:
+    values = ",\n           ".join(
+        f"({j}, {code}, {x0!r}, {y0!r}, {x1!r}, {y1!r})"
+        for j, code, x0, y0, x1, y1 in _rect_class_rows()
+    )
+    # literal matches the engine's F.lit(G.DEG_M * G.DEG_M) single-constant
+    # multiply (111320.0^2 is integer-valued, exactly representable)
+    from biomass_processing_pipeline_spark import geometry as _G
+
+    deg_m2 = repr(_G.DEG_M * _G.DEG_M)
+    acres = repr(_G.ACRES_PER_M2)
+    urban = ", ".join(str(c) for c in URBAN_CODES)
+    return f"""
+  WITH parcels AS (
+    -- CAST AS DOUBLE per term: DuckDB types 0.5-style literals DECIMAL;
+    -- every value is on a 2^-k lattice so the conversion is exact and the
+    -- downstream GREATEST/LEAST/area math runs on the same doubles Spark
+    -- sees (repo DuckDB-gotcha convention)
+    SELECT c_custkey AS parcel_id,
+           CAST(-10.0 + (c_custkey % 37) * 0.5 AS DOUBLE) AS x0,
+           CAST(30.0 + (c_custkey % 23) * 0.25 AS DOUBLE) AS y0,
+           CAST(-10.0 + (c_custkey % 37) * 0.5
+                + 0.25 + (c_custkey % 5) * 0.25 AS DOUBLE) AS x1,
+           CAST(30.0 + (c_custkey % 23) * 0.25
+                + 0.125 + (c_custkey % 7) * 0.125 AS DOUBLE) AS y1
+    FROM customer),
+  classes_raw(class_poly_id, class_code, rx0, ry0, rx1, ry1) AS (
+    VALUES {values}),
+  classes AS (
+    SELECT class_poly_id, class_code,
+           CAST(rx0 AS DOUBLE) AS cx0, CAST(ry0 AS DOUBLE) AS cy0,
+           CAST(rx1 AS DOUBLE) AS cx1, CAST(ry1 AS DOUBLE) AS cy1
+    FROM classes_raw),
+  pairs AS (
+    SELECT p.parcel_id, c.class_poly_id, c.class_code,
+           GREATEST(p.x0, c.cx0) AS ix0, GREATEST(p.y0, c.cy0) AS iy0,
+           LEAST(p.x1, c.cx1) AS ix1, LEAST(p.y1, c.cy1) AS iy1
+    FROM parcels p CROSS JOIN classes c
+    WHERE LEAST(p.x1, c.cx1) > GREATEST(p.x0, c.cx0)
+      AND LEAST(p.y1, c.cy1) > GREATEST(p.y0, c.cy0)),
+  areas AS (
+    SELECT parcel_id, class_poly_id, class_code,
+           (ix1 - ix0) * (iy1 - iy0) * {deg_m2}
+             * COS(RADIANS((iy0 + iy1) / 2.0)) * {acres} AS area_acres
+    FROM pairs)
+  SELECT parcel_id, CAST(class_code AS BIGINT) AS class_code,
+         CAST(ROUND(CAST(SUM(area_acres) AS DOUBLE) + 0.0, 2) AS DOUBLE)
+           AS area_acres_r,
+         COUNT(*) AS n_polys
+  FROM areas
+  WHERE area_acres >= 5000.0 AND class_code NOT IN ({urban})
+  GROUP BY parcel_id, class_code
+  ORDER BY parcel_id, class_code
+"""
+
+
 SQL_UPSERT = """
   WITH base AS (
     SELECT o_orderkey AS k, ROUND(o_totalprice, 2) AS v,
@@ -2037,6 +2176,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "validation_flags": q_validation_flags,
     "upsert_semantics": q_upsert_semantics,
     "phash_dedup": q_phash_dedup,
+    "intersect_rect": q_intersect_rect,
 }
 
 _STATIC_ORACLES: dict[str, str] = {
@@ -2083,6 +2223,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "minhash_pairs": _sql_minhash(),
     "validation_flags": SQL_VALIDATION,
     "upsert_semantics": SQL_UPSERT,
+    "intersect_rect": _sql_intersect_rect(),
 }
 
 
