@@ -524,7 +524,16 @@ def run_sf1(cpus: int) -> dict:
         zones = spark.read.parquet(f"{fdir}/golden_image_county.parquet")
         return zonal_band_stats(decode_partials(images), zones).count()
 
-    timed("zonal", _zonal)
+    # same blob first-touch discipline as run_suite: one untimed warm pass
+    # (disclosed) then min-of-2 — at this tier the 12 GB blob scan can also
+    # be DISK-bound when the fixture predates the JVM (the guest's page
+    # cache does not reliably retain multi-GB files), which the single cold
+    # rep in earlier runs reported as the leg time (599 s vs 23-51 s warm,
+    # BENCH/SF1.json run4 note)
+    _t_cold = time.time()
+    _zonal()
+    blob_first_touch = round(time.time() - _t_cold, 3)
+    timed("zonal", _zonal, repeats=2)
 
     def _intersect():
         parcels = spark.read.parquet(f"{fdir}/parcels.parquet").select(
@@ -628,6 +637,7 @@ def run_sf1(cpus: int) -> dict:
         "n_images": n_images, "n_assigned": n_assigned,
         "minhash_pairs": n_pairs, "workflow_rows": wf_rows,
         "workflow_buckets": n_wf, "fixture_gen_sec": gen_sec,
+        "blob_first_touch_s": blob_first_touch,
         "jvm_peak_rss_gb": peak,
         "images_per_sec_pip_tile": round(n_images / timings["pip_tile"], 1),
     }

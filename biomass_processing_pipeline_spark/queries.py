@@ -2026,9 +2026,14 @@ def q_intersect_rect(spark, sf_dir):
         f"{r.x0:.5f} {r.y0:.5f}))"
         for r in cls.itertuples()
     ]
+    # 200k acres sits INSIDE the area distribution (drops ~20% of pairs,
+    # nearest value 33k acres away — a deleted/inverted F4 filter breaks
+    # the row count, and float divergence near the threshold is impossible
+    # by 4 orders of magnitude); the lattice's smallest positive overlap
+    # is ~78k acres, so any smaller threshold would be a no-op.
     res = intersection_join(
         spark, parcels, cls[["class_poly_id", "class_code", "geom_wkt"]],
-        min_acres=5000.0,
+        min_acres=200000.0,
     )
     return (
         res.groupBy("parcel_id", "class_code")
@@ -2054,10 +2059,11 @@ def _sql_intersect_rect() -> str:
     urban = ", ".join(str(c) for c in URBAN_CODES)
     return f"""
   WITH parcels AS (
-    -- CAST AS DOUBLE per term: DuckDB types 0.5-style literals DECIMAL;
-    -- every value is on a 2^-k lattice so the conversion is exact and the
-    -- downstream GREATEST/LEAST/area math runs on the same doubles Spark
-    -- sees (repo DuckDB-gotcha convention)
+    -- each COORDINATE expression computes in DuckDB DECIMAL (0.5-style
+    -- literals are DECIMAL) and is cast to DOUBLE once at the end; the
+    -- cast is exact ONLY because every value here is a dyadic rational
+    -- (2^-k lattice) — a non-dyadic lattice (0.1 steps) would need the
+    -- cast on every literal BEFORE the arithmetic to match Spark
     SELECT c_custkey AS parcel_id,
            CAST(-10.0 + (c_custkey % 37) * 0.5 AS DOUBLE) AS x0,
            CAST(30.0 + (c_custkey % 23) * 0.25 AS DOUBLE) AS y0,
@@ -2090,7 +2096,7 @@ def _sql_intersect_rect() -> str:
            AS area_acres_r,
          COUNT(*) AS n_polys
   FROM areas
-  WHERE area_acres >= 5000.0 AND class_code NOT IN ({urban})
+  WHERE area_acres >= 200000.0 AND class_code NOT IN ({urban})
   GROUP BY parcel_id, class_code
   ORDER BY parcel_id, class_code
 """
