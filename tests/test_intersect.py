@@ -233,3 +233,68 @@ def test_crop_rollup_and_dominant(spark, smoke_dir):
     y, r, m, h = CROP_COEFFS[one.class_code]
     assert abs(one.yield_tons - one.area_acres * y) < 1e-9
     assert abs(one.harvestable_tons - one.area_acres * y * r * (1 - m) * h) < 1e-9
+
+
+def test_intersection_join_level_independent(spark, smoke_dir):
+    """The cover lattice level is an internal tuning knob: the anchor-cell
+    (reference-point) filter must keep exactly one candidate per piece pair
+    at ANY level, so the operator's OUTPUT is level-invariant. A
+    level-dependent survivor rule — wrong corner cell, an off-by-one in the
+    decoded lattice coords, or a pair whose anchor cell is missing from one
+    side's cover — would drop pairs or double-count areas at some level.
+
+    Two shapes of stress: the smoke fixtures (volume; rect fast path) at
+    coarse->fine levels, and the concave mixed-routing set (general clip
+    path) at levels where the 0.28-degree geometries span 1 vs ~7 cells
+    per axis."""
+    parcels = pd.read_parquet(f"{smoke_dir}/parcels.parquet").head(40)
+    cpolys = pd.read_parquet(f"{smoke_dir}/class_polygons.parquet")
+    outs = {}
+    for level in (8, 10, 12):
+        outs[level] = (
+            intersection_join(spark, parcels, cpolys, level=level)
+            .toPandas()
+            .sort_values(["parcel_id", "class_poly_id"])
+            .reset_index(drop=True)
+        )
+    base = outs[10]
+    assert len(base) > 0
+    for level in (8, 12):
+        got = outs[level]
+        assert len(got) == len(base), level
+        assert (got.parcel_id.values == base.parcel_id.values).all(), level
+        assert (got.class_poly_id.values == base.class_poly_id.values).all()
+        # identical per-pair math at every level; only float summation
+        # order across pieces may differ
+        assert np.allclose(got.area_acres.values, base.area_acres.values,
+                           rtol=1e-9), level
+
+    DART = "POLYGON ((0 0, 0.16 0, 0.16 0.16, 0.08 0.06, 0 0.16, 0 0))"
+    LSHAPE = ("POLYGON ((0.16 0, 0.28 0, 0.28 0.12, 0.24 0.12, "
+              "0.24 0.04, 0.16 0.04, 0.16 0))")
+    TRI = "POLYGON ((0 0, 0.24 0, 0.12 0.14, 0 0))"
+    BIGRECT = "POLYGON ((0 0, 0.2 0, 0.2 0.2, 0 0.2, 0 0))"
+    parcels2 = pd.DataFrame([
+        {"parcel_id": "dart", "fips": "06001", "acres": 10.0, "geom_wkt": DART},
+        {"parcel_id": "ell", "fips": "06003", "acres": 10.0, "geom_wkt": LSHAPE},
+    ])
+    cpolys2 = pd.DataFrame([
+        {"class_poly_id": 1, "class_code": 1, "geom_wkt": BIGRECT},
+        {"class_poly_id": 2, "class_code": 5, "geom_wkt": TRI},
+    ])
+    ref = None
+    for level in (10, 13):
+        got = (
+            intersection_join(spark, parcels2, cpolys2, level=level,
+                              min_acres=1.0)
+            .toPandas()
+            .sort_values(["parcel_id", "class_poly_id"])
+            .reset_index(drop=True)
+        )
+        if ref is None:
+            ref = got
+            assert len(ref) > 0
+        else:
+            assert (got.parcel_id.values == ref.parcel_id.values).all()
+            assert np.allclose(got.area_acres.values, ref.area_acres.values,
+                               rtol=1e-9)
