@@ -78,7 +78,16 @@ def _build_target_index(targets: DataFrame, target_key: str, level: int,
     discipline as SQL's managed broadcasts, bounded by live result
     DataFrames rather than by app lifetime.
     """
-    pdf = targets.toPandas()
+    return _pack_target_index(targets.toPandas(), target_key, level,
+                              attr_cols, raw_cols)
+
+
+def _pack_target_index(pdf: pd.DataFrame, target_key: str, level: int,
+                       attr_cols: list[str],
+                       raw_cols: list[str] = ()) -> dict:
+    """Pure-pandas/numpy core of :func:`_build_target_index` (split out so
+    the kernel property tests can fuzz the packed-index invariants without
+    a SparkSession)."""
     lon = pdf["t_lon"].to_numpy(np.float64)
     lat = pdf["t_lat"].to_numpy(np.float64)
     w = 1 << level
@@ -160,19 +169,23 @@ def _seg_topk(pt: np.ndarray, d: np.ndarray, tie: np.ndarray, kk: int,
     return order[take], rank[take], cnt, kth
 
 
-def _brute_pairs(plon: np.ndarray, plat: np.ndarray, idx: dict, kk: int):
+def _brute_pairs(plon: np.ndarray, plat: np.ndarray, idx: dict, kk: int,
+                 chunk: int | None = None):
     """Exact top-kk against ALL targets, target-chunked so the distance
     block stays bounded; per-chunk winners pool into a final exact pass
     (any global top-kk element is top-kk in its own chunk under the same
     total order, so the pooling loses nothing — no argpartition tie
-    hazards)."""
+    hazards). ``chunk`` is auto-sized to a ~2e7-element distance block;
+    the override exists for the pooling property test."""
     m = len(plon)
     n_t = len(idx["lon"])
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
              np.empty(0), np.empty(0, dtype=np.int64))
     if m == 0 or n_t == 0:
         return empty
-    chunk = max(int(kk), int(2e7 // max(m, 1)), 1)
+    if chunk is None:
+        chunk = max(int(kk), int(2e7 // max(m, 1)), 1)
+    chunk = max(int(chunk), int(kk), 1)
     pool_pt, pool_tg, pool_d = [], [], []
     for s in range(0, n_t, chunk):
         e = min(n_t, s + chunk)
