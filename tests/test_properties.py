@@ -283,3 +283,58 @@ def test_utm_roundtrip_envelope_property(spark, batch):
     got = df.select("lon", "lat", rl.alias("rl"), rp.alias("rp")).toPandas()
     err = np.maximum(np.abs(got.rl - got.lon), np.abs(got.rp - got.lat))
     assert float(err.max()) < 5e-8
+
+
+def _convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain (test oracle only), CCW, no repeated endpoint."""
+    pts = np.unique(pts, axis=0)
+    if len(pts) < 3:
+        return pts
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(seq):
+        out = []
+        for p in seq:
+            while len(out) >= 2:
+                o, a = out[-2], out[-1]
+                if (a[0] - o[0]) * (p[1] - o[1]) - (a[1] - o[1]) * (p[0] - o[0]) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1], dtype=np.float64)
+
+
+@given(st.integers(0, 10**6), st.integers(4, 24))
+@settings(max_examples=150, deadline=None)
+def test_raycast_matches_halfplane_oracle_on_convex_hulls(seed, n):
+    """Even-odd ray casting (geometry.points_in_polygon, the J7 refine
+    kernel) vs an independent half-plane-sign oracle on random convex
+    hulls. Integer-lattice vertices + half-integer probe points make every
+    cross-product sign exact in float64, so strict inside/outside is
+    decidable without tolerance; exact-boundary probes (cross == 0) are
+    skipped as semantics-ambiguous (the engine's boundary rule is owned by
+    the closed-cover/seam layer, not this kernel)."""
+    rng = np.random.default_rng(seed)
+    pts = rng.integers(0, 60, size=(n, 2)).astype(np.float64)
+    hull = _convex_hull(pts)
+    assume(len(hull) >= 3)
+    xs, ys = hull[:, 0].copy(), hull[:, 1].copy()
+
+    gx, gy = np.meshgrid(np.arange(-1.5, 61.0, 4.0), np.arange(-1.5, 61.0, 4.0))
+    px, py = gx.ravel(), gy.ravel()
+
+    # half-plane oracle: CCW hull => inside iff every edge cross > 0
+    x1, y1 = np.roll(xs, -1), np.roll(ys, -1)
+    cross = ((x1 - xs)[None, :] * (py[:, None] - ys[None, :])
+             - (y1 - ys)[None, :] * (px[:, None] - xs[None, :]))
+    strictly_in = (cross > 0).all(axis=1)
+    strictly_out = (cross < 0).any(axis=1)
+    decided = ~((cross == 0).any(axis=1) & ~strictly_out) & (strictly_in | strictly_out)
+
+    got = G.points_in_polygon(px[decided], py[decided], xs, ys)
+    assert got.tolist() == strictly_in[decided].tolist()
