@@ -329,3 +329,120 @@ def test_streaming_drift_gate_group_spans_arrow_chunks(spark):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# property fuzz: drift_gate_core vs a naive quadratic reference
+# ---------------------------------------------------------------------------
+
+def _naive_drift_gate(phash, ts_s, kept_sigs, kept_ts, max_hamming,
+                      horizon_s):
+    """Obviously-correct O(rows x kept) reference for drift_gate_core: the
+    live set is recomputed per row by a FULL scan (no suffix-eviction
+    pointer, no vectorized popcount) and the final state is every kept
+    entry still inside the last row's horizon window."""
+    kept = list(zip(kept_sigs, kept_ts))
+    keep = []
+    for p, t in zip(phash, ts_s):
+        cutoff = int(t) - horizon_s
+        live = [s for s, kt in kept if kt >= cutoff]
+        dup = any(
+            bin((int(s) ^ int(p)) & ((1 << 64) - 1)).count("1") <= max_hamming
+            for s in live
+        )
+        keep.append(not dup)
+        if not dup:
+            kept.append((int(p), int(t)))
+    cutoff = (int(ts_s[-1]) - horizon_s) if len(ts_s) else None
+    if cutoff is None:
+        live_kept = kept
+    else:
+        # drift_gate_core evicts a PREFIX (its kept list is ts-sorted under
+        # the documented preconditions), so mirror that here
+        i = 0
+        while i < len(kept) and kept[i][1] < cutoff:
+            i += 1
+        live_kept = kept[i:]
+    return keep, [s for s, _ in live_kept], [t for _, t in live_kept]
+
+
+def test_drift_gate_core_fuzz_vs_naive_reference():
+    """Hypothesis fuzz of the streaming drift gate's pure core against the
+    naive reference: random CLUSTERED signatures (so Hamming hits actually
+    occur), random horizons that force mid-batch eviction, and a random
+    pre-seeded state (the cross-micro-batch case). Exercises the suffix
+    -eviction pointer and the SWAR popcount together."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from biomass_processing_pipeline_spark.streaming.dedup import (
+        drift_gate_core,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.data())
+    def run(data):
+        rng_seed = data.draw(st.integers(0, 2**31 - 1))
+        rng = np.random.default_rng(rng_seed)
+        n_state = data.draw(st.integers(0, 6))
+        n_rows = data.draw(st.integers(0, 24))
+        max_hamming = data.draw(st.integers(0, 3))
+        horizon = data.draw(st.integers(1, 50))
+        # few base signatures + small bit flips -> dense near-dup space
+        bases = rng.integers(-2**63, 2**63 - 1, size=3, dtype=np.int64)
+        def sig():
+            b = int(bases[rng.integers(0, len(bases))])
+            flips = rng.integers(0, 64, size=rng.integers(0, 4))
+            for f in flips:
+                b ^= 1 << int(f)
+            return np.int64(np.uint64(b & ((1 << 64) - 1)))
+        # documented preconditions: state ts nondecreasing, batch rows
+        # ts-sorted, state ts <= first batch ts (arrival order)
+        state_ts = sorted(int(x) for x in rng.integers(0, 30, size=n_state))
+        first_ts = state_ts[-1] if state_ts else 0
+        row_ts = sorted(
+            first_ts + int(x) for x in rng.integers(0, 80, size=n_rows)
+        )
+        state_sigs = [int(sig()) for _ in range(n_state)]
+        phash = np.array([sig() for _ in range(n_rows)], dtype=np.int64)
+        ts_arr = np.array(row_ts, dtype=np.int64)
+
+        keep, sigs, tss = drift_gate_core(
+            phash, ts_arr, list(state_sigs), list(state_ts),
+            max_hamming, horizon,
+        )
+        ref_keep, ref_sigs, ref_ts = _naive_drift_gate(
+            phash, ts_arr, state_sigs, state_ts, max_hamming, horizon,
+        )
+        assert list(keep) == ref_keep
+        assert [int(s) for s in sigs] == [int(s) for s in ref_sigs]
+        assert [int(t) for t in tss] == [int(t) for t in ref_ts]
+        # state boundedness: every returned entry is inside the horizon of
+        # the last processed row (when any rows were processed)
+        if n_rows:
+            assert all(t >= row_ts[-1] - horizon for t in tss)
+
+    run()
+
+
+def test_popcount64_fuzz_vs_python_bincount():
+    """SWAR popcount == Python's bit_count over the full int64 range,
+    including the sign bit and both extremes."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from biomass_processing_pipeline_spark.streaming.dedup import _popcount64
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(
+        st.integers(-2**63, 2**63 - 1), min_size=1, max_size=64,
+    ))
+    def run(vals):
+        arr = np.array(vals, dtype=np.int64)
+        got = _popcount64(arr)
+        exp = [bin(v & ((1 << 64) - 1)).count("1") for v in vals]
+        assert list(got) == exp
+
+    run()
