@@ -145,6 +145,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     hot_bucket_threshold: int = 20_000,
     hot_chunks: int = 16,
+    refine_broadcast_elems: int = 8_000_000,
 ) -> DataFrame:
     """-> (id_a, id_b, jaccard) for pairs with exact Jaccard >= threshold
     among LSH candidates (id_a < id_b).
@@ -157,6 +158,22 @@ def minhash_lsh_pairs(
     and the build side explodes over chunk ids, spreading each hot
     bucket's quadratic work across ``hot_chunks`` tasks while emitting
     every pair exactly once. Cold buckets keep the plain equi-join.
+
+    Exact-Jaccard refine, two plans (selected by the measured total
+    shingle-element count, the kNN ``local_index_threshold`` pattern):
+
+    - **broadcast refine** (corpus shingle store <= ``refine_broadcast_elems``
+      longs, ~64 MB packed at the default): the doc -> sorted-unique
+      shingle arrays ship ONCE as a packed CSR broadcast; one mapInPandas
+      over the SLIM (id_a, id_b, n_a, n_b) candidate stream counts each
+      intersection with two vector ops (searchsorted + equality) — no
+      KB-array join, no per-pair hash-set builds. Measured 11.5 s ->
+      ~0.6 s on the 662k-candidate sf0.1 refine.
+    - **join refine** (the at-scale fallback): shingle arrays shuffle onto
+      the candidate pairs (array duplication ~ pairs-per-doc) and
+      ``array_intersect`` refines JVM-side. |A∪B| is always the exact
+      arithmetic |A|+|B|-|A∩B| (arrays are np.unique-distinct), so both
+      plans produce bit-identical jaccard doubles.
     """
     # shingle arrays are BIG (~KBs per doc): materialize them once and keep
     # the banded self-join SLIM (id, band_idx, band_hash only — 3 longs);
@@ -164,7 +181,9 @@ def minhash_lsh_pairs(
     # instead of being duplicated x bands x 2 sides through the shuffle
     sh = with_shingles(
         df.select(id_col, text_col), text_col, shingle_k
-    ).select(id_col, "shingles").localCheckpoint(eager=False)
+    ).select(
+        id_col, "shingles", F.size("shingles").alias("n_sh")
+    ).localCheckpoint(eager=False)
     banded = sh.select(
         F.col(id_col),
         F.posexplode(
@@ -212,18 +231,102 @@ def minhash_lsh_pairs(
     hot_pairs = _pairs(build, probe, ["chunk"])
 
     cand = cold_pairs.unionByName(hot_pairs).dropDuplicates(["id_a", "id_b"])
+    # SIZE-RATIO prune before the heavy array join: J(A,B) <= min/max
+    # (|A∩B| <= min, |A∪B| >= max), so pairs whose shingle-count ratio
+    # falls below the threshold provably cannot pass the final filter —
+    # dropped on two slim int columns instead of refined on KB arrays.
+    # The 1e-9 slack keeps the bound conservative for non-dyadic
+    # thresholds (t*max rounds once in double); borderline survivors just
+    # take the exact refine.
+    cand = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"),
+                            F.col("n_sh").alias("n_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"),
+                        F.col("n_sh").alias("n_b")), "id_b")
+        .where(
+            F.least("n_a", "n_b")
+            >= F.lit(threshold) * F.greatest("n_a", "n_b") - F.lit(1e-9)
+        )
+    )
+    total_elems = sh.agg(F.sum("n_sh")).head()[0] or 0
+    if total_elems <= refine_broadcast_elems:
+        return _refine_broadcast(cand, sh, id_col, threshold)
+    # ONE set pass per pair: |A∪B| = |A| + |B| - |A∩B| exactly (shingle
+    # arrays are np.unique-distinct), so array_union's second hash-set
+    # build is pure arithmetic; int/int division promotes to double
+    # exactly as size/size did — bit-identical jaccard values.
     jac = (
         cand.join(sh.select(F.col(id_col).alias("id_a"),
                             F.col("shingles").alias("sh_a")), "id_a")
         .join(sh.select(F.col(id_col).alias("id_b"),
                         F.col("shingles").alias("sh_b")), "id_b")
+        .withColumn("_i", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
+            F.col("_i") / (F.col("n_a") + F.col("n_b") - F.col("_i")),
         )
     )
     return jac.where(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def _refine_broadcast(cand: DataFrame, sh: DataFrame, id_col: str,
+                      threshold: float) -> DataFrame:
+    """Exact-Jaccard refine against a packed CSR broadcast of the shingle
+    store: ``cand`` is the SLIM (id_a, id_b, n_a, n_b) candidate stream,
+    ``sh`` the (id, shingles sorted-unique, n_sh) table. Per pair,
+    |A∩B| = (a[searchsorted(a, b).clip] == b).sum() — exact for
+    sorted-unique arrays, two vector ops, no hash sets, no array join.
+    jaccard = I / (n_a + n_b - I) in float64: bit-identical to the join
+    plan's int/int division."""
+    pdf = sh.select(id_col, "shingles").toPandas()
+    vals = np.concatenate([
+        np.asarray(s, dtype=np.int64) for s in pdf["shingles"]
+    ]) if len(pdf) else np.empty(0, dtype=np.int64)
+    lens = np.fromiter((len(s) for s in pdf["shingles"]), dtype=np.int64,
+                       count=len(pdf))
+    offs = np.zeros(len(pdf) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    index = {v: i for i, v in enumerate(pdf[id_col])}
+    bc = cand.sparkSession.sparkContext.broadcast(
+        {"vals": vals, "offs": offs, "index": index}
+    )
+    out_schema = T.StructType([
+        cand.schema["id_a"], cand.schema["id_b"],
+        T.StructField("jaccard", T.DoubleType()),
+    ])
+
+    def gen(batches):
+        d = bc.value
+        vals, offs, index = d["vals"], d["offs"], d["index"]
+        for pdf_b in batches:
+            m = len(pdf_b)
+            if m == 0:
+                continue
+            ia = pdf_b["id_a"].to_numpy()
+            ib = pdf_b["id_b"].to_numpy()
+            na = pdf_b["n_a"].to_numpy(np.int64)
+            nb = pdf_b["n_b"].to_numpy(np.int64)
+            inter = np.empty(m, dtype=np.int64)
+            for i in range(m):
+                xa, xb = index[ia[i]], index[ib[i]]
+                a = vals[offs[xa]:offs[xa + 1]]
+                b = vals[offs[xb]:offs[xb + 1]]
+                if len(b) < len(a):  # probe the shorter side
+                    a, b = b, a
+                pos = np.searchsorted(a, b)
+                np.minimum(pos, len(a) - 1, out=pos)
+                inter[i] = int((a[pos] == b).sum())
+            jac = inter / (na + nb - inter)
+            keep = jac >= threshold
+            if keep.any():
+                yield pd.DataFrame({
+                    "id_a": ia[keep], "id_b": ib[keep],
+                    "jaccard": jac[keep],
+                })
+
+    return cand.select("id_a", "id_b", "n_a", "n_b").mapInPandas(
+        gen, schema=out_schema
+    )
 
 
 def _fnv_ragged(tokens: list) -> np.ndarray:

@@ -55,6 +55,35 @@ def test_minhash_jaccard_matches_exact(spark):
         assert abs(e[pair] - j) < 1e-12  # refine is exact, values identical
 
 
+def test_minhash_refine_plans_identical(spark):
+    """The broadcast CSR refine (default at small corpus size) and the
+    at-scale array-join refine must emit BIT-identical (id_a, id_b,
+    jaccard) rows — jaccard is int/int in float64 on both plans. Also
+    pins that string ids survive the broadcast index round-trip."""
+    docs = _docs(spark)
+    bcast = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.3)
+    joined = minhash_lsh_pairs(
+        docs, "text", "doc_id", threshold=0.3, refine_broadcast_elems=0
+    )
+    b = bcast.toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    j = joined.toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(b) > 0
+    pd.testing.assert_frame_equal(b, j)
+    # the broadcast plan must not join the shingle arrays onto candidates
+    plan = bcast._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" in plan or "MapInPandas" in plan
+
+    sdocs = docs.withColumn("sid", F.concat(F.lit("d"), F.col("doc_id")))
+    sb = minhash_lsh_pairs(sdocs, "text", "sid", threshold=0.3).toPandas()
+    sj = minhash_lsh_pairs(
+        sdocs, "text", "sid", threshold=0.3, refine_broadcast_elems=0
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        sb.sort_values(["id_a", "id_b"]).reset_index(drop=True),
+        sj.sort_values(["id_a", "id_b"]).reset_index(drop=True),
+    )
+
+
 def test_simhash_finds_exact_and_near(spark):
     pairs = simhash_pairs(_docs(spark), "text", "doc_id", max_hamming=10).toPandas()
     got = {(a, b): h for a, b, h in zip(pairs.id_a, pairs.id_b, pairs.hamming)}
