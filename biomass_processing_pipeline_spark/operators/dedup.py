@@ -145,7 +145,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     hot_bucket_threshold: int = 20_000,
     hot_chunks: int = 16,
-    refine_broadcast_elems: int = 8_000_000,
+    refine_broadcast_elems: int = 16_000_000,
 ) -> DataFrame:
     """-> (id_a, id_b, jaccard) for pairs with exact Jaccard >= threshold
     among LSH candidates (id_a < id_b).
@@ -163,7 +163,8 @@ def minhash_lsh_pairs(
     shingle-element count, the kNN ``local_index_threshold`` pattern):
 
     - **broadcast refine** (corpus shingle store <= ``refine_broadcast_elems``
-      longs, ~64 MB packed at the default): the doc -> sorted-unique
+      longs, ~128 MB packed at the default — ordinary Spark broadcast
+      size; each Python worker holds one copy): the doc -> sorted-unique
       shingle arrays ship ONCE as a packed CSR broadcast; one mapInPandas
       over the SLIM (id_a, id_b, n_a, n_b) candidate stream counts each
       intersection with two vector ops (searchsorted + equality) — no
