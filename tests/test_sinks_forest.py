@@ -257,3 +257,49 @@ def test_upsert_crash_mid_swap_repair(spark):
         assert not os.path.exists(out + "._staged")
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_upsert_randomized_batch_sequences_match_reference(spark):
+    """Randomized S7 stress: apply 5 random batches (overlapping keys,
+    intra-batch seq conflicts, varying bucket touch sets) and compare the
+    table after EVERY batch against a pandas keep-latest reference that
+    applies rows strictly in (batch, seq) order — the reference's
+    execute_values ON CONFLICT DO UPDATE semantics
+    (database_manager_v3.py:727-792). Seeded: failures reproduce."""
+    import numpy as np
+
+    from biomass_processing_pipeline_spark.sources.sinks import (
+        read_upsert_parquet,
+    )
+
+    rng = np.random.default_rng(20260818)
+    out = tempfile.mkdtemp(prefix="bpp_upsert_fuzz_") + "/t"
+    try:
+        ref: dict[int, tuple] = {}
+        for bi in range(5):
+            n = int(rng.integers(5, 40))
+            keys = rng.integers(0, 30, size=n)  # dense -> real conflicts
+            batch = pd.DataFrame({
+                "k": keys.astype("int64"),
+                "v": (keys * 100 + bi).astype("int64"),
+                "tag": [f"b{bi}r{i}" for i in range(n)],
+                "seq": np.arange(n, dtype="int64"),  # row order in batch
+            })
+            upsert_parquet(
+                spark, spark.createDataFrame(batch), out, ["k"],
+                n_buckets=8, seq_col="seq",
+            )
+            for r in batch.itertuples(index=False):  # in-order reference
+                ref[int(r.k)] = (int(r.v), r.tag)
+            got = read_upsert_parquet(spark, out).toPandas()
+            exp = pd.DataFrame(
+                [(k, v, t) for k, (v, t) in sorted(ref.items())],
+                columns=["k", "v", "tag"],
+            )
+            g = got.sort_values("k").reset_index(drop=True)[["k", "v", "tag"]]
+            assert len(g) == len(exp), f"batch {bi}: row count"
+            pd.testing.assert_frame_equal(
+                g.astype({"k": "int64", "v": "int64"}), exp,
+            )
+    finally:
+        shutil.rmtree(out.rsplit("/", 1)[0], ignore_errors=True)
