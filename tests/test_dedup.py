@@ -445,3 +445,18 @@ def test_phash_dedup_groups_null_scope_rows_survive(spark):
     assert got.loc["n0"].rep_id == "n0" and got.loc["n1"].rep_id == "n0"
     assert got.loc["t0"].rep_id == "t0" and got.loc["t1"].rep_id == "t0"
     assert (got.group_size == 2).all()
+
+
+def test_minhash_empty_and_singleton_corpora(spark):
+    """Degenerate inputs flow through both refine plans without error:
+    an empty corpus and a single-doc corpus each produce zero pairs with
+    the full (id_a, id_b, jaccard) schema."""
+    empty = spark.createDataFrame([], schema="doc_id long, text string")
+    one = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [7], "text": ["only document here"]})
+    )
+    for docs in (empty, one):
+        for kw in ({}, {"refine_broadcast_elems": 0}):
+            got = minhash_lsh_pairs(docs, "text", "doc_id", **kw).toPandas()
+            assert len(got) == 0
+            assert list(got.columns) == ["id_a", "id_b", "jaccard"]
