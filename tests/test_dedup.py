@@ -460,3 +460,18 @@ def test_minhash_empty_and_singleton_corpora(spark):
             got = minhash_lsh_pairs(docs, "text", "doc_id", **kw).toPandas()
             assert len(got) == 0
             assert list(got.columns) == ["id_a", "id_b", "jaccard"]
+
+
+def test_minhash_partitioning_independent(spark):
+    """Same pairs and identical jaccard values whatever the input
+    partitioning (1 vs 13 partitions) — no partition-local assumption in
+    banding, hot-bucket chunking, size prune, or the broadcast refine."""
+    docs = _docs(spark)
+    a = minhash_lsh_pairs(
+        docs.coalesce(1), "text", "doc_id", threshold=0.3
+    ).toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    b = minhash_lsh_pairs(
+        docs.repartition(13), "text", "doc_id", threshold=0.3
+    ).toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
