@@ -475,3 +475,43 @@ def test_minhash_partitioning_independent(spark):
     ).toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
     assert len(a) > 0
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_fnv_vectorized_kernels_match_scalar_reference():
+    """The two vectorized FNV-1a kernels (fixed-width window matrix and
+    ragged zero-padded sweep) must produce the SAME values as the scalar
+    per-byte reference for arbitrary byte strings — the DuckDB oracle
+    twins embed these exact values, so a divergence would break every
+    minhash/simhash hash-green check. Includes empty strings and
+    full-range bytes."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from biomass_processing_pipeline_spark.operators.dedup import (
+        _fnv_matrix,
+        _fnv_ragged,
+        hash_bytes_np,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.binary(min_size=0, max_size=40), min_size=0,
+                    max_size=30))
+    def ragged(tokens):
+        got = _fnv_ragged(tokens)
+        exp = hash_bytes_np(np.array(tokens, dtype=object)) if tokens else \
+            np.empty(0, dtype=np.int64)
+        assert list(got) == list(exp)
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.integers(1, 20), st.integers(1, 16), st.integers(0, 2**31 - 1))
+    def matrix(n, k, seed):
+        rng = np.random.default_rng(seed)
+        mat = rng.integers(0, 256, size=(n, k), dtype=np.uint8)
+        got = _fnv_matrix(mat)
+        exp = hash_bytes_np(np.array([bytes(row) for row in mat],
+                                     dtype=object))
+        assert list(got) == list(exp)
+
+    ragged()
+    matrix()
