@@ -372,11 +372,17 @@ def run_degrade(sf_dir: str, cpus: int) -> dict:
     )
     assert n_hot > 0, \
         f"no band bucket exceeds {hot_threshold} — raise the tier or lower it"
+    # refine_broadcast_elems=0 forces the at-scale ARRAY-JOIN refine too,
+    # so the degrade leg exercises every fallback plan together (chunked
+    # hot buckets + join refine), exactly what an over-ceiling corpus runs
     mm_df = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.3,
-                              hot_bucket_threshold=hot_threshold)
+                              hot_bucket_threshold=hot_threshold,
+                              refine_broadcast_elems=0)
     plan2 = mm_df._jdf.queryExecution().executedPlan().toString()
     assert "chunk" in plan2 and "explode" in plan2.lower(), \
         "hot-bucket chunked self-join missing from the plan"
+    assert "array_intersect" in plan2, \
+        "degrade leg must run the array-join refine, not the broadcast"
     ts = []
     for _ in range(2):
         t0 = time.time()
