@@ -515,3 +515,78 @@ def test_fnv_vectorized_kernels_match_scalar_reference():
 
     ragged()
     matrix()
+
+
+def test_connected_components_randomized_vs_union_find(spark):
+    """Randomized CC fuzz: Erdos-Renyi-ish sparse graphs, chains, stars
+    and cliques over shuffled long ids — both the log-round FastSV
+    (`dedup_components`) and the per-scope Arrow union-find
+    (`scoped_components`) must equal a pure-Python union-find reference:
+    every vertex labeled with its component's MIN id. Seeded; failures
+    reproduce."""
+    import numpy as np
+
+    from biomass_processing_pipeline_spark.operators.dedup import (
+        dedup_components,
+        scoped_components,
+    )
+
+    def uf_reference(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        comp: dict[int, list] = {}
+        for v in list(parent):
+            comp.setdefault(find(v), []).append(v)
+        return {v: min(vs) for vs in comp.values() for v in vs}
+
+    rng = np.random.default_rng(42)
+    for case in range(6):
+        n = int(rng.integers(8, 60))
+        ids = rng.permutation(10_000)[:n].astype("int64")  # sparse id space
+        kind = case % 3
+        if kind == 0:  # sparse random graph
+            m = int(rng.integers(n // 2, 2 * n))
+            ea = ids[rng.integers(0, n, size=m)]
+            eb = ids[rng.integers(0, n, size=m)]
+        elif kind == 1:  # chain + isolated star
+            ea = np.concatenate([ids[:-1], ids[:1].repeat(min(5, n - 1))])
+            eb = np.concatenate([ids[1:], ids[1:min(5, n - 1) + 1]])
+        else:  # two cliques bridged by one edge
+            h = n // 2
+            ca = [(ids[i], ids[j]) for i in range(h) for j in range(i + 1, h)]
+            cb = [(ids[i], ids[j]) for i in range(h, n)
+                  for j in range(i + 1, n)]
+            both = ca + cb + [(ids[0], ids[-1])]
+            ea = np.array([a for a, _ in both], dtype="int64")
+            eb = np.array([b for _, b in both], dtype="int64")
+        mask = ea != eb  # CC over proper edges; self-loops add nothing
+        edges = list(zip(ea[mask].tolist(), eb[mask].tolist()))
+        if not edges:
+            continue
+        exp = uf_reference(edges)
+
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"id_a": [a for a, _ in edges],
+                          "id_b": [b for _, b in edges]})
+        )
+        got = dedup_components(pairs, max_iters=25).toPandas()
+        assert got.set_index("doc_id")["rep_id"].to_dict() == exp, \
+            f"FastSV mismatch, case {case}"
+
+        # same graph through the scoped path (one scope) must agree too
+        sgot = scoped_components(
+            pairs.withColumn("scope", F.lit("s")), "scope"
+        ).toPandas()
+        assert sgot.set_index("doc_id")["rep_id"].to_dict() == exp, \
+            f"scoped union-find mismatch, case {case}"
