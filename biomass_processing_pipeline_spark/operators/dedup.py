@@ -54,22 +54,50 @@ def _fnv_matrix(mat: np.ndarray) -> np.ndarray:
         return (h & np.uint64(_MERSENNE)).astype(np.int64)
 
 
+def _shingle_batch(texts: list, k: int) -> list:
+    """Sorted-unique k-byte shingle hashes per doc, vectorized ACROSS the
+    whole batch: one flat byte buffer, boundary-masked window starts, a
+    single ``_fnv_matrix`` sweep over every window of every doc, then
+    per-doc sorted dedup via one lexsort + adjacent-diff (identical
+    values and order to the per-doc ``np.unique(_fnv_matrix(windows))``
+    it replaces — windows never cross doc boundaries). Docs shorter than
+    ``k`` keep the whole-string hash fallback."""
+    enc = [(t or "").lower().encode() for t in texts]
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=len(enc))
+    out: list = [None] * len(enc)
+    long_idx = np.flatnonzero(lens >= k)
+    for i in np.flatnonzero(lens < k):
+        out[i] = [int(hash_bytes_np(np.array([enc[i]], dtype=object))[0])]
+    if len(long_idx) == 0:
+        return out
+    flat = np.frombuffer(b"".join(enc[i] for i in long_idx), dtype=np.uint8)
+    dlens = lens[long_idx]
+    offs = np.zeros(len(long_idx), dtype=np.int64)
+    np.cumsum(dlens[:-1], out=offs[1:])
+    n_win = dlens - k + 1
+    # valid window starts: each doc's [off, off + len - k] span
+    starts = np.repeat(offs, n_win) + (
+        np.arange(int(n_win.sum())) - np.repeat(np.cumsum(n_win) - n_win, n_win)
+    )
+    windows = np.lib.stride_tricks.sliding_window_view(flat, k)[starts]
+    hashes = _fnv_matrix(windows)
+    doc = np.repeat(np.arange(len(long_idx)), n_win)
+    order = np.lexsort((hashes, doc))
+    d_s, h_s = doc[order], hashes[order]
+    keep = np.empty(len(d_s), dtype=bool)
+    keep[0] = True
+    keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+    d_u, h_u = d_s[keep], h_s[keep]
+    bounds = np.searchsorted(d_u, np.arange(1, len(long_idx)))
+    for i, part in zip(long_idx, np.split(h_u, bounds)):
+        out[i] = part.tolist()
+    return out
+
+
 def _shingle_udf(k: int):
     @pandas_udf(T.ArrayType(T.LongType()))
     def shingles(text: pd.Series) -> pd.Series:
-        out = []
-        for t in text:
-            b = np.frombuffer((t or "").lower().encode(), dtype=np.uint8)
-            if len(b) < k:
-                out.append(
-                    [int(hash_bytes_np(np.array([bytes(b)], dtype=object))[0])]
-                )
-                continue
-            # k-byte shingles via a strided window view (char==byte for
-            # ASCII corpora; shingling is defined over BYTES)
-            windows = np.lib.stride_tricks.sliding_window_view(b, k)
-            out.append(np.unique(_fnv_matrix(windows)).tolist())
-        return pd.Series(out)
+        return pd.Series(_shingle_batch(list(text), k))
 
     return shingles
 

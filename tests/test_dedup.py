@@ -590,3 +590,46 @@ def test_connected_components_randomized_vs_union_find(spark):
         ).toPandas()
         assert sgot.set_index("doc_id")["rep_id"].to_dict() == exp, \
             f"scoped union-find mismatch, case {case}"
+
+
+def test_shingle_batch_matches_per_doc_reference():
+    """The batch-vectorized shingle kernel must produce the IDENTICAL
+    sorted-unique hash lists as the per-doc reference
+    (np.unique(_fnv_matrix(sliding windows))) for arbitrary strings —
+    empty, shorter than k, exactly k, repeated content, unicode
+    multi-byte, and fuzz batches."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from biomass_processing_pipeline_spark.operators.dedup import (
+        _fnv_matrix,
+        _shingle_batch,
+        hash_bytes_np,
+    )
+
+    def per_doc(texts, k):
+        out = []
+        for t in texts:
+            b = np.frombuffer((t or "").lower().encode(), dtype=np.uint8)
+            if len(b) < k:
+                out.append(
+                    [int(hash_bytes_np(np.array([bytes(b)], dtype=object))[0])]
+                )
+                continue
+            w = np.lib.stride_tricks.sliding_window_view(b, k)
+            out.append(np.unique(_fnv_matrix(w)).tolist())
+        return out
+
+    fixed = ["", "ab", "abcde", "abcdef", "ABCDE", "aaaaaaaaaa",
+             "héllo wörld ünïcode", None, "abcde" * 50, "xy"]
+    assert _shingle_batch(fixed, 5) == per_doc(fixed, 5)
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.text(min_size=0, max_size=60), min_size=0,
+                    max_size=20),
+           st.integers(2, 8))
+    def fuzz(texts, k):
+        assert _shingle_batch(texts, k) == per_doc(texts, k)
+
+    fuzz()
