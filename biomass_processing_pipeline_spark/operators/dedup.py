@@ -174,6 +174,7 @@ def minhash_lsh_pairs(
     hot_bucket_threshold: int = 20_000,
     hot_chunks: int = 16,
     refine_broadcast_elems: int = 16_000_000,
+    refine_broadcast_docs: int = 2_000_000,
 ) -> DataFrame:
     """-> (id_a, id_b, jaccard) for pairs with exact Jaccard >= threshold
     among LSH candidates (id_a < id_b).
@@ -191,7 +192,10 @@ def minhash_lsh_pairs(
     shingle-element count, the kNN ``local_index_threshold`` pattern):
 
     - **broadcast refine** (corpus shingle store <= ``refine_broadcast_elems``
-      longs, ~128 MB packed at the default — ordinary Spark broadcast
+      longs AND <= ``refine_broadcast_docs`` docs — the driver collect and
+      the id->offset dict pay O(n_docs) regardless of element count, so a
+      many-tiny-doc corpus must fail the gate too; ~128 MB packed at the
+      element default — ordinary Spark broadcast
       size; each Python worker holds one copy): the doc -> sorted-unique
       shingle arrays ship ONCE as a packed CSR broadcast; one mapInPandas
       over the SLIM (id_a, id_b, n_a, n_b) candidate stream counts each
@@ -277,9 +281,20 @@ def minhash_lsh_pairs(
             >= F.lit(threshold) * F.greatest("n_a", "n_b") - F.lit(1e-9)
         )
     )
-    total_elems = sh.agg(F.sum("n_sh")).head()[0] or 0
-    if total_elems <= refine_broadcast_elems:
-        return _refine_broadcast(cand, sh, id_col, threshold)
+    # plan gate: skip the measuring job entirely when the caller pinned the
+    # join refine (refine_broadcast_elems <= 0 can never pass); otherwise
+    # ONE agg measures both bounds. The doc-count bound matters as much as
+    # the element bound: the driver collect + broadcast pay O(n_docs)
+    # (id->index dict, per-doc list overhead), so a many-tiny-doc corpus
+    # must not slip under a pure element ceiling.
+    if refine_broadcast_elems > 0:
+        total_elems, n_docs = sh.agg(
+            F.sum("n_sh"), F.count("*")
+        ).head() or (0, 0)
+        if (total_elems or 0) <= refine_broadcast_elems and (
+            n_docs or 0
+        ) <= refine_broadcast_docs:
+            return _refine_broadcast(cand, sh, id_col, threshold)
     # ONE set pass per pair: |A∪B| = |A| + |B| - |A∩B| exactly (shingle
     # arrays are np.unique-distinct), so array_union's second hash-set
     # build is pure arithmetic; int/int division promotes to double

@@ -55,9 +55,16 @@ def _prep(sf_dir: str, rows: int) -> None:
     scaling leg feeds the kernel (synth virtual-id footprints) plus the
     packed target index, so legs need no Spark."""
     os.makedirs(WORK, exist_ok=True)
-    done = os.path.join(WORK, f"_DONE_{rows}")
+    # marker is keyed by BOTH tier and row count: a tier switch via
+    # SPARK_GRAFT_SF_DIR must regenerate the dumped index/point files
+    # (they share names), not silently reuse the previous tier's
+    tag = sf_dir.strip("/").replace("/", "_")
+    done = os.path.join(WORK, f"_DONE_{tag}_{rows}")
     if os.path.exists(done):
         return
+    for stale in os.listdir(WORK):
+        if stale.startswith("_DONE_"):
+            os.remove(os.path.join(WORK, stale))
     from biomass_processing_pipeline_spark.session import get_spark
     from biomass_processing_pipeline_spark import synth
     from biomass_processing_pipeline_spark.sources.images import with_footprint
@@ -136,8 +143,12 @@ def _leg_inproc(procs: int, rows: int) -> float:
     ctx = mp.get_context("fork")
     barrier = ctx.Barrier(procs + 1)
     per = rows // procs
+    # last worker takes the remainder so every row is processed — the
+    # points/sec figures divide by the FULL nominal row count
     ps = [ctx.Process(target=_worker,
-                      args=(i, i * per, (i + 1) * per, barrier, 50, 0.01))
+                      args=(i, i * per,
+                            rows if i == procs - 1 else (i + 1) * per,
+                            barrier, 50, 0.01))
           for i in range(procs)]
     for p in ps:
         p.start()

@@ -462,6 +462,44 @@ def test_minhash_empty_and_singleton_corpora(spark):
             assert list(got.columns) == ["id_a", "id_b", "jaccard"]
 
 
+def test_minhash_refine_gate_docs_and_pin(spark, monkeypatch):
+    """The broadcast-refine gate bounds BOTH totals: shingle elements AND
+    doc count (the driver collect + id->offset dict pay O(n_docs), so a
+    many-tiny-doc corpus must take the join refine even when its elements
+    fit), and a pinned join refine (refine_broadcast_elems=0) never
+    touches the broadcast path. Results are identical on every route."""
+    import biomass_processing_pipeline_spark.operators.dedup as dd
+
+    docs = _docs(spark)
+    calls = []
+    real = dd._refine_broadcast
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(dd, "_refine_broadcast", spy)
+
+    def run(**kw):
+        return dd.minhash_lsh_pairs(
+            docs, "text", "doc_id", threshold=0.3, **kw
+        ).toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    base = run()  # tiny fixture passes both bounds -> broadcast refine
+    assert calls == [1]
+
+    calls.clear()
+    by_docs = run(refine_broadcast_docs=1)  # doc bound alone forces join
+    assert calls == []
+    pd.testing.assert_frame_equal(base, by_docs)
+
+    calls.clear()
+    pinned = run(refine_broadcast_elems=0)  # pin skips gate AND measure job
+    assert calls == []
+    pd.testing.assert_frame_equal(base, pinned)
+    assert len(base) > 0
+
+
 def test_minhash_partitioning_independent(spark):
     """Same pairs and identical jaccard values whatever the input
     partitioning (1 vs 13 partitions) — no partition-local assumption in
