@@ -41,14 +41,41 @@ def _cosine_col(a: str, b: str) -> F.Column:
 def brute_force_topk(
     emb: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    broadcast_elems: int = 16_000_000, broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """-> (query_id, target_id, cosine, rank): exact top-k cosine neighbors
     of each query among all of ``emb`` (self excluded). Ranks by the
-    6-decimal-rounded cosine with id tiebreak (deterministic)."""
+    6-decimal-rounded cosine with id tiebreak (deterministic).
+
+    Two plans (the kNN local-index / minhash CSR-refine pattern):
+
+    - **broadcast matmul** (target side <= ``broadcast_elems`` floats AND
+      <= ``broadcast_rows`` rows — BOTH bounds, the collect and the id
+      dict pay O(rows) regardless of element count): targets pack ONCE
+      into an (N, dim) float64 matrix broadcast to the workers; each
+      Arrow batch of queries scores all targets in one BLAS matmul and
+      selects top-k locally — map-only, no crossJoin rows, no per-element
+      lambda evaluation. Ranking ties are resolved on the 6-decimal
+      ROUNDED cosine exactly as the window plan does.
+    - **crossJoin + native array math** (the fallback): JVM-side
+      ``zip_with``/``aggregate`` per pair + window top-k. Quadratic rows —
+      the correctness baseline; pin with ``broadcast_elems=0``.
+
+    Both plans order by (rounded cosine desc, target_id asc); a parity
+    test pins them row-identical.
+    """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
     t = emb.select(F.col(id_col).alias("target_id"), F.col(vec_col).alias("t_vec"))
+    if broadcast_elems > 0:
+        n_t, dim = emb.agg(
+            F.count("*"), F.max(F.size(vec_col))
+        ).head() or (0, 0)
+        if (n_t or 0) and n_t * (dim or 0) <= broadcast_elems and (
+            n_t <= broadcast_rows
+        ):
+            return _topk_matmul_broadcast(q, t, k)
     j = (
         q.crossJoin(t)
         .where(F.col("query_id") != F.col("target_id"))
@@ -60,6 +87,84 @@ def brute_force_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "target_id", "cosine", "rank")
     )
+
+
+def _topk_matmul_broadcast(q: DataFrame, t: DataFrame, k: int) -> DataFrame:
+    """Map-only exact top-k: targets as a broadcast (N, dim) float64 matrix,
+    one BLAS matmul per query chunk, local (rounded-cosine desc, id asc)
+    selection. Bit-identical rows to the crossJoin window plan: the HOF
+    path casts each float32 element to double before multiplying, exactly
+    as the packed matrix does, and ranking compares the ROUNDED cosine so
+    summation-order ulps cannot reorder ranks that the window plan's
+    rounded sort key would not also reorder."""
+    t_pdf = t.toPandas()
+    ids = t_pdf["target_id"].to_numpy()
+    mat = (
+        np.vstack(t_pdf["t_vec"].to_numpy()).astype(np.float64)
+        if len(t_pdf) else np.empty((0, 0), np.float64)
+    )
+    t_norm = np.sqrt((mat * mat).sum(axis=1))
+    id_pos = {v: i for i, v in enumerate(ids)}
+    bc = q.sparkSession.sparkContext.broadcast(
+        {"ids": ids, "mat": mat, "t_norm": t_norm, "id_pos": id_pos}
+    )
+    out_schema = T.StructType([
+        T.StructField("query_id", q.schema["query_id"].dataType),
+        T.StructField("target_id", t.schema["target_id"].dataType),
+        T.StructField("cosine", T.DoubleType()),
+        T.StructField("rank", T.IntegerType()),
+    ])
+
+    def gen(batches):
+        d = bc.value
+        ids, mat, t_norm, id_pos = (
+            d["ids"], d["mat"], d["t_norm"], d["id_pos"],
+        )
+        n_t = len(ids)
+        # bound the B x N score block to ~32 MB whatever the target count
+        step = max(1, 4_000_000 // max(n_t, 1))
+        for pdf in batches:
+            if len(pdf) == 0 or n_t == 0:
+                continue
+            qids_all = pdf["query_id"].to_numpy()
+            qm_all = np.vstack(pdf["q_vec"].to_numpy()).astype(np.float64)
+            for s in range(0, len(pdf), step):
+                qids = qids_all[s:s + step]
+                qm = qm_all[s:s + step]
+                q_norm = np.sqrt((qm * qm).sum(axis=1))
+                scores = np.round(
+                    (qm @ mat.T) / (q_norm[:, None] * t_norm[None, :]), 6
+                )
+                oq, ot, oc, orank = [], [], [], []
+                for i in range(len(qids)):
+                    row = scores[i]
+                    self_pos = id_pos.get(qids[i])
+                    if self_pos is not None:
+                        row = row.copy()
+                        row[self_pos] = -np.inf
+                    kk = min(k, n_t)
+                    if n_t > kk:
+                        part = np.argpartition(-row, kk - 1)
+                        kth = row[part[kk - 1]]
+                        cand = np.flatnonzero(row >= kth)  # keep ALL ties
+                    else:
+                        cand = np.arange(n_t)
+                    cand = cand[row[cand] > -np.inf]
+                    order = cand[np.lexsort((ids[cand], -row[cand]))][:kk]
+                    m = len(order)
+                    oq.append(np.repeat(qids[i], m))
+                    ot.append(ids[order])
+                    oc.append(row[order])
+                    orank.append(np.arange(1, m + 1, dtype=np.int32))
+                if oq:
+                    yield pd.DataFrame({
+                        "query_id": np.concatenate(oq),
+                        "target_id": np.concatenate(ot),
+                        "cosine": np.concatenate(oc),
+                        "rank": np.concatenate(orank),
+                    })
+
+    return q.mapInPandas(gen, schema=out_schema)
 
 
 def cosine_dup_pairs(

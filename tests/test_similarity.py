@@ -32,6 +32,40 @@ def test_brute_force_matches_numpy_oracle(spark):
         assert (sub.target_id.to_numpy() == expect).all()
 
 
+def test_brute_force_matmul_and_crossjoin_plans_identical(spark):
+    """The broadcast-matmul fast path and the crossJoin+window fallback
+    (pinned via broadcast_elems=0) must return IDENTICAL rows — same
+    neighbors, same rounded cosines, same ranks — on the driver fixture
+    and on a corpus with heavy cosine ties (duplicate vectors, where the
+    rounded-cosine/id tiebreak does real work)."""
+    emb = _emb(spark)
+    q = emb.where(F.col("vec_id") % 50 == 0)
+
+    def norm(df):
+        return (
+            df.toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+
+    fast = norm(brute_force_topk(emb, q, k=5))
+    slow = norm(brute_force_topk(emb, q, k=5, broadcast_elems=0))
+    assert len(fast) > 0
+    pd.testing.assert_frame_equal(fast, slow)
+
+    # tie-heavy corpus: 3 distinct directions x many duplicates
+    base = np.eye(3, 8) + 0.25
+    rows = [(i, (base[i % 3] / np.linalg.norm(base[i % 3]))
+             .astype(np.float32).tolist()) for i in range(30)]
+    dup = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id",
+                                                            "embedding"]))
+    qd = dup.where(F.col("vec_id") < 6)
+    fast = norm(brute_force_topk(dup, qd, k=4))
+    slow = norm(brute_force_topk(dup, qd, k=4, broadcast_elems=0))
+    assert (fast.groupby("query_id")["rank"].max() == 4).all()
+    pd.testing.assert_frame_equal(fast, slow)
+
+
 def _planted(spark, n=300, dim=64, seed=7):
     """Clusters of genuinely-near vectors (cosine ~0.95) — the regime LSH
     is built for; the driver's embeddings are near-uniform (top cosine
