@@ -28,6 +28,17 @@ def _lsh_plan(spark):
     return lsh_topk(emb, emb.where(F.col("vec_id") % 25 == 0), k=5)
 
 
+def _bf_plan(spark):
+    from pyspark.sql import functions as F
+
+    from biomass_processing_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    return brute_force_topk(emb, emb.where(F.col("vec_id") % 25 == 0), k=5)
+
+
 def main() -> None:
     import pandas as pd
     from pyspark.sql import functions as F
@@ -125,6 +136,16 @@ def main() -> None:
                 "parcel_id", "fips", "acres", "geom_wkt"),
             cpolys,
         ),
+    )
+    add(
+        "Brute-force cosine top-k (broadcast matmul DEFAULT plan)",
+        "Map-only: targets pack once into a broadcast (N, dim) float64 "
+        "matrix; each Arrow query batch scores all targets in one BLAS "
+        "matmul and selects top-k locally on the rounded cosine — no "
+        "crossJoin rows, no per-element lambda evaluation. The crossJoin "
+        "+ window plan remains the pinnable at-scale fallback "
+        "(broadcast_elems=0).",
+        _bf_plan(spark),
     )
     add(
         "LSH similarity (slim banded candidate join)",
