@@ -35,7 +35,11 @@ def _cosine_col(a: str, b: str) -> F.Column:
         F.transform(b, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x,
     )
-    return dot / F.sqrt(na * nb)
+    # try_divide: a zero-norm vector has no defined cosine -> NULL (which
+    # every downstream threshold/rank filter excludes). Plain `/` THROWS
+    # under Spark 4's default ANSI mode — one degenerate row would
+    # otherwise kill the whole job.
+    return F.try_divide(dot, F.sqrt(na * nb))
 
 
 def brute_force_topk(
@@ -62,7 +66,11 @@ def brute_force_topk(
       the correctness baseline; pin with ``broadcast_elems=0``.
 
     Both plans order by (rounded cosine desc, target_id asc); a parity
-    test pins them row-identical.
+    test pins them row-identical. Degenerate (zero-norm) vectors have no
+    defined cosine: pairs involving one NEVER match, in BOTH plans (the
+    crossJoin plan filters the NaN ratio, the matmul plan masks it) — a
+    zero-norm QUERY yields zero output rows, a zero-norm TARGET is
+    excluded from every ranking.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
@@ -80,6 +88,9 @@ def brute_force_topk(
         q.crossJoin(t)
         .where(F.col("query_id") != F.col("target_id"))
         .withColumn("cosine", F.round(_cosine_col("q_vec", "t_vec"), 6))
+        # zero-norm vectors: try_divide -> NULL cosine — drop, matching
+        # the matmul plan's mask (a degenerate pair never ranks)
+        .where(F.col("cosine").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("target_id"))
     return (
@@ -132,9 +143,14 @@ def _topk_matmul_broadcast(q: DataFrame, t: DataFrame, k: int) -> DataFrame:
                 qids = qids_all[s:s + step]
                 qm = qm_all[s:s + step]
                 q_norm = np.sqrt((qm * qm).sum(axis=1))
-                scores = np.round(
-                    (qm @ mat.T) / (q_norm[:, None] * t_norm[None, :]), 6
-                )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    scores = np.round(
+                        (qm @ mat.T) / (q_norm[:, None] * t_norm[None, :]), 6
+                    )
+                # zero-norm query/target -> NaN: mask to -inf so the
+                # selection below excludes it, exactly as the crossJoin
+                # plan's isnan filter does
+                scores[~np.isfinite(scores)] = -np.inf
                 oq, ot, oc, orank = [], [], [], []
                 for i in range(len(qids)):
                     row = scores[i]

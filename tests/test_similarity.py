@@ -65,6 +65,25 @@ def test_brute_force_matmul_and_crossjoin_plans_identical(spark):
     assert (fast.groupby("query_id")["rank"].max() == 4).all()
     pd.testing.assert_frame_equal(fast, slow)
 
+    # degenerate zero-norm vectors: cosine is undefined (0/0) — without
+    # try_divide the crossJoin plan THROWS under Spark 4 ANSI mode (one
+    # degenerate row killed the whole job); with it, a zero-norm TARGET
+    # never ranks and a zero-norm QUERY yields zero rows; plans must agree
+    rng = np.random.default_rng(11)
+    zrows = [(i, rng.standard_normal(8).astype(np.float32).tolist())
+             for i in range(10)]
+    zrows.append((10, [0.0] * 8))  # zero-norm target
+    zdf = spark.createDataFrame(pd.DataFrame(zrows, columns=["vec_id",
+                                                             "embedding"]))
+    zq = zdf.where(F.col("vec_id") >= 9)  # one real query + the zero query
+    fast = norm(brute_force_topk(zdf, zq, k=3))
+    slow = norm(brute_force_topk(zdf, zq, k=3, broadcast_elems=0))
+    pd.testing.assert_frame_equal(fast, slow)
+    assert 10 not in fast.target_id.to_numpy()  # zero target never ranks
+    assert 10 not in fast.query_id.to_numpy()  # zero query emits no rows
+    assert set(fast.query_id.unique()) == {9}
+    assert (fast[fast.query_id == 9]["rank"].to_numpy() == [1, 2, 3]).all()
+
 
 def _planted(spark, n=300, dim=64, seed=7):
     """Clusters of genuinely-near vectors (cosine ~0.95) — the regime LSH
