@@ -315,7 +315,12 @@ def intersection_join(
         .where(~F.col("class_code").isin(list(URBAN_CODES)))
         .join(pmeta, "parcel_id")
         .withColumn(
-            "pct_of_parcel", F.col("area_acres") * 100.0 / F.col("parcel_acres")
+            # try_divide: guarded for min_acres=0 callers, where a
+            # zero-area parcel's zero-area intersection row survives the
+            # filter and 0/0 would raise under ANSI (default 0.01 already
+            # excludes it: intersection area <= parcel area)
+            "pct_of_parcel",
+            F.try_divide(F.col("area_acres") * 100.0, F.col("parcel_acres")),
         )
     )
 

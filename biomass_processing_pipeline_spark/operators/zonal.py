@@ -106,7 +106,10 @@ def zonal_band_stats(partials: DataFrame, zones: DataFrame,
         mr.alias("mean_r"), sr.alias("std_r"),
         mg.alias("mean_g"), sg.alias("std_g"),
         mn.alias("mean_nir"), sn.alias("std_nir"),
-        (F.col("_nds") / F.col("_ndc")).alias("ndvi_mean"),
+        # try_divide: a zone whose every pixel fails the valid-NDVI mask
+        # (nir + red == 0, e.g. all-black imagery) has _ndc = 0 — NULL
+        # mean, not the job-killing ANSI DIVIDE_BY_ZERO plain `/` raises
+        F.try_divide(F.col("_nds"), F.col("_ndc")).alias("ndvi_mean"),
         (F.col("_ok") == 1).alias("all_phash_ok"),
     )
 

@@ -77,7 +77,10 @@ def biomass_result_table(spark: SparkSession, fixture_dir: str,
         (F.col("sum_r") / F.col("px_count")).alias("mean_r"),
         (F.col("sum_g") / F.col("px_count")).alias("mean_g"),
         (F.col("sum_nir") / F.col("px_count")).alias("mean_nir"),
-        (F.col("ndvi_sum") / F.col("ndvi_count")).alias("ndvi_mean"),
+        # try_divide: an image with zero valid-NDVI pixels (nir + red == 0
+        # everywhere) must yield NULL — the downstream when(isNotNull)
+        # chain already expects it; plain `/` raises under ANSI instead
+        F.try_divide(F.col("ndvi_sum"), F.col("ndvi_count")).alias("ndvi_mean"),
     )
 
     # fused kNN + weighted agg: the points x k intermediate never

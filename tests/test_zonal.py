@@ -70,3 +70,33 @@ def test_class_histogram_and_shannon(spark, smoke_dir):
         expect = -(p * np.log(p)).sum() / np.log(len(p)) if len(p) > 1 else 0.0
         assert abs(sh.loc[fips, "shannon_index"] - expect) < 1e-9
     assert ((sh.shannon_index >= 0) & (sh.shannon_index <= 1.0 + 1e-9)).all()
+
+
+def test_all_black_zone_yields_null_ndvi_not_crash(spark):
+    """A zone whose every pixel fails the valid-NDVI mask (nir + red == 0:
+    all-black imagery, a plausible real capture) must produce a NULL
+    ndvi_mean — under Spark 4's default ANSI mode the former plain `/`
+    raised DIVIDE_BY_ZERO and one such image killed the whole job."""
+    import pandas as pd
+
+    from biomass_processing_pipeline_spark import imaging
+
+    black = np.zeros((8, 8, 3), dtype=np.uint8)
+    normal = np.full((8, 8, 3), 40, dtype=np.uint8)
+    rows = [
+        ("img_black", imaging.encode_image(black, "raw"), 8, 8, "raw",
+         "cap", imaging.phash64(black)),
+        ("img_normal", imaging.encode_image(normal, "raw"), 8, 8, "raw",
+         "cap", imaging.phash64(normal)),
+    ]
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, "
+              "caption string, phash long")
+    zones = spark.createDataFrame(
+        [("img_black", "00001"), ("img_normal", "00002")],
+        "image_id string, fips string")
+    got = (zonal_band_stats(decode_partials(images), zones)
+           .toPandas().set_index("fips").sort_index())
+    assert pd.isna(got.loc["00001", "ndvi_mean"])  # NULL, not a crash
+    assert got.loc["00001", "mean_r"] == 0.0
+    assert np.isfinite(got.loc["00002", "ndvi_mean"])
