@@ -66,12 +66,20 @@ def image_resize_features(
         for pdf in it:
             rows = []
             for t in pdf.itertuples(index=False):
-                px = imaging.decode_image(t.bytes)
-                thumb = resize_block_mean(px, out_h, out_w)
+                # quarantine, don't crash: a corrupt blob yields a row
+                # with NULL thumb/features (nothing vanishes, consumers
+                # filter `features IS NULL`), not a dead 10^12-image job
+                try:
+                    px = imaging.decode_image(t.bytes)
+                    thumb = imaging.encode_image(
+                        resize_block_mean(px, out_h, out_w), "raw"
+                    )
+                    feats = grid_features(px, grid).tolist()
+                except Exception:
+                    thumb, feats = None, None
                 rows.append({
-                    "image_id": t.image_id,
-                    "thumb": imaging.encode_image(thumb, "raw"),
-                    "features": grid_features(px, grid).tolist(),
+                    "image_id": t.image_id, "thumb": thumb,
+                    "features": feats,
                 })
             yield pd.DataFrame(rows)
 
@@ -90,14 +98,22 @@ def video_frame_sample(
         for pdf in it:
             rows = []
             for t in pdf.itertuples(index=False):
+                if t.n_frames <= 0:  # frame-less video: nothing to sample
+                    continue
                 frame_len = len(t.bytes) // t.n_frames
                 for fi in range(0, t.n_frames, every_k):
                     blob = t.bytes[fi * frame_len : (fi + 1) * frame_len]
-                    px = imaging.decode_image(blob)
+                    # quarantine, don't crash: a corrupt frame keeps its
+                    # row (NULL stats) so frame accounting stays intact
+                    try:
+                        px = imaging.decode_image(blob)
+                        lum = float(px.mean())
+                        feats = grid_features(px).tolist()
+                    except Exception:
+                        lum, feats = None, None
                     rows.append({
                         "video_id": t.video_id, "frame_idx": fi,
-                        "mean_lum": float(px.mean()),
-                        "features": grid_features(px).tolist(),
+                        "mean_lum": lum, "features": feats,
                     })
             yield pd.DataFrame(rows)
 

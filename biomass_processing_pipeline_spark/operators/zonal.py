@@ -49,7 +49,23 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = []
         for t in pdf.itertuples(index=False):
-            px = imaging.decode_image(t.bytes)
+            # quarantine, don't crash: one corrupt blob in a 10^12-image
+            # scan must become a flagged zero-partial row (phash_ok=False,
+            # px_count=0 -> NULL zone stats via try_divide downstream,
+            # all_phash_ok=False), not a dead job. The bytes are
+            # untrusted input; decode/phash failures of ANY kind count.
+            try:
+                px = imaging.decode_image(t.bytes)
+                ok = bool(imaging.phash64(px) == t.phash)
+            except Exception:
+                rows.append({
+                    "image_id": t.image_id, "phash_ok": False,
+                    "px_count": 0, "sum_r": 0.0, "sum_g": 0.0,
+                    "sum_nir": 0.0, "sumsq_r": 0.0, "sumsq_g": 0.0,
+                    "sumsq_nir": 0.0, "ndvi_sum": 0.0, "ndvi_count": 0,
+                    "class_hist": [0] * N_CLASSES,
+                })
+                continue
             f = px.astype(np.float64)
             r, nir = f[:, :, 0], f[:, :, 2]
             denom = nir + r
@@ -59,7 +75,7 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             hist = np.bincount(classes.ravel(), minlength=N_CLASSES)
             rows.append({
                 "image_id": t.image_id,
-                "phash_ok": imaging.phash64(px) == t.phash,
+                "phash_ok": ok,
                 "px_count": px.shape[0] * px.shape[1],
                 "sum_r": float(f[:, :, 0].sum()),
                 "sum_g": float(f[:, :, 1].sum()),
@@ -95,9 +111,15 @@ def zonal_band_stats(partials: DataFrame, zones: DataFrame,
         F.min(F.col("phash_ok").cast("int")).alias("_ok"),
     )
     def mean_std(s, ss, n):
-        mean = F.col(s) / F.col(n)
-        var = F.col(ss) / F.col(n) - mean * mean
-        return mean, F.sqrt(F.greatest(var, F.lit(0.0)))
+        # try_divide: a zone holding only quarantined (undecodable) images
+        # has n_pixels = 0 -> NULL stats + all_phash_ok=False, not an
+        # ANSI DIVIDE_BY_ZERO job kill
+        mean = F.try_divide(F.col(s), F.col(n))
+        var = F.try_divide(F.col(ss), F.col(n)) - mean * mean
+        # greatest() skips NULLs, so gate std on n > 0 explicitly or a
+        # NULL-mean zone would report std = 0.0
+        std = F.when(F.col(n) > 0, F.sqrt(F.greatest(var, F.lit(0.0))))
+        return mean, std
     mr, sr = mean_std("_sr", "_ssr", "n_pixels")
     mg, sg = mean_std("_sg", "_ssg", "n_pixels")
     mn, sn = mean_std("_sn", "_ssn", "n_pixels")

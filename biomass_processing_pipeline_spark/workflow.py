@@ -74,9 +74,11 @@ def biomass_result_table(spark: SparkSession, fixture_dir: str,
     per_image = partials.select(
         F.element_at(F.split("image_id", "_"), -1).cast("long").alias("seq"),
         "image_id", "phash_ok", "px_count",
-        (F.col("sum_r") / F.col("px_count")).alias("mean_r"),
-        (F.col("sum_g") / F.col("px_count")).alias("mean_g"),
-        (F.col("sum_nir") / F.col("px_count")).alias("mean_nir"),
+        # try_divide: a quarantined (undecodable) image has px_count = 0
+        # -> NULL band means + phash_ok=False, not an ANSI job kill
+        F.try_divide(F.col("sum_r"), F.col("px_count")).alias("mean_r"),
+        F.try_divide(F.col("sum_g"), F.col("px_count")).alias("mean_g"),
+        F.try_divide(F.col("sum_nir"), F.col("px_count")).alias("mean_nir"),
         # try_divide: an image with zero valid-NDVI pixels (nir + red == 0
         # everywhere) must yield NULL — the downstream when(isNotNull)
         # chain already expects it; plain `/` raises under ANSI instead

@@ -63,3 +63,31 @@ def test_audio_stub_and_fake(spark):
     # default (stub) decoder must surface the NotImplementedError via Spark
     with pytest.raises(Exception, match="NotImplementedError|no audio codec"):
         audio_features(df).collect()
+
+
+def test_corrupt_image_and_frame_quarantined(spark):
+    """Corrupt blobs yield rows with NULL features (nothing vanishes,
+    nothing crashes) in both the image and the video Arrow passes."""
+    import pandas as pd
+
+    good_px = np.full((8, 8, 3), 90, dtype=np.uint8)
+    good = imaging.encode_image(good_px, "raw")
+    images = spark.createDataFrame(
+        [("ok", good), ("bad", b"\xffnope")],
+        "image_id string, bytes binary")
+    out = (image_resize_features(images).toPandas()
+           .set_index("image_id"))
+    assert out.loc["ok", "features"] is not None
+    assert out.loc["bad", "features"] is None and out.loc["bad", "thumb"] is None
+
+    # 2-frame video whose second frame is garbage of the same length
+    frame = imaging.encode_image(good_px, "raw")
+    vid = frame + b"\x00" * len(frame)
+    videos = spark.createDataFrame(
+        [("v1", vid, 2, 8, 8), ("v0", b"", 0, 8, 8)],
+        "video_id string, bytes binary, n_frames int, w int, h int")
+    vf = (video_frame_sample(videos, every_k=1).toPandas()
+          .set_index(["video_id", "frame_idx"]).sort_index())
+    assert np.isfinite(vf.loc[("v1", 0), "mean_lum"])
+    assert pd.isna(vf.loc[("v1", 1), "mean_lum"])  # corrupt frame kept, NULL
+    assert "v0" not in vf.index.get_level_values(0)  # frame-less: no rows

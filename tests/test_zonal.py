@@ -100,3 +100,38 @@ def test_all_black_zone_yields_null_ndvi_not_crash(spark):
     assert pd.isna(got.loc["00001", "ndvi_mean"])  # NULL, not a crash
     assert got.loc["00001", "mean_r"] == 0.0
     assert np.isfinite(got.loc["00002", "ndvi_mean"])
+
+
+def test_corrupt_blob_quarantined_not_fatal(spark):
+    """One corrupt blob in a 10^12-image scan must become a flagged
+    zero-partial row (phash_ok=False, NULL zone stats), not a dead job."""
+    import pandas as pd
+
+    from biomass_processing_pipeline_spark import imaging
+
+    good_px = np.full((8, 8, 3), 40, dtype=np.uint8)
+    rows = [
+        ("img_good", imaging.encode_image(good_px, "raw"), 8, 8, "raw",
+         "cap", imaging.phash64(good_px)),
+        ("img_bad", b"\x00garbage-not-a-codec-frame", 8, 8, "raw",
+         "cap", 0),
+    ]
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, "
+              "caption string, phash long")
+    got = decode_partials(images).toPandas().set_index("image_id")
+    assert bool(got.loc["img_good", "phash_ok"])
+    assert not bool(got.loc["img_bad", "phash_ok"])  # quarantined, flagged
+    assert got.loc["img_bad", "px_count"] == 0
+    assert sum(got.loc["img_bad", "class_hist"]) == 0
+
+    zones = spark.createDataFrame(
+        [("img_good", "00001"), ("img_bad", "00009")],
+        "image_id string, fips string")
+    stats = (zonal_band_stats(decode_partials(images), zones)
+             .toPandas().set_index("fips"))
+    assert pd.isna(stats.loc["00009", "mean_r"])      # NULL, not crash
+    assert pd.isna(stats.loc["00009", "std_r"])       # not 0.0 either
+    assert not stats.loc["00009", "all_phash_ok"]
+    assert np.isfinite(stats.loc["00001", "mean_r"])
+    assert stats.loc["00001", "all_phash_ok"]
