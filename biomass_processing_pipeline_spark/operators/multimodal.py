@@ -136,7 +136,19 @@ def audio_features(
         for pdf in it:
             rows = []
             for t in pdf.itertuples(index=False):
-                wave = decoder(t.bytes)
+                # quarantine corrupt bytes (NULL features, row kept) but
+                # let the stub's NotImplementedError stay loud — a missing
+                # codec is a deployment error, not bad data
+                try:
+                    wave = decoder(t.bytes)
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    rows.append({
+                        "audio_id": t.audio_id, "duration_samples": None,
+                        "rms": None, "zero_cross": None,
+                    })
+                    continue
                 zc = int(np.sum(np.abs(np.diff(np.signbit(wave)))))
                 rows.append({
                     "audio_id": t.audio_id,

@@ -91,3 +91,23 @@ def test_corrupt_image_and_frame_quarantined(spark):
     assert np.isfinite(vf.loc[("v1", 0), "mean_lum"])
     assert pd.isna(vf.loc[("v1", 1), "mean_lum"])  # corrupt frame kept, NULL
     assert "v0" not in vf.index.get_level_values(0)  # frame-less: no rows
+
+
+def test_corrupt_audio_quarantined_stub_stays_loud(spark):
+    """A decoder failure on one blob yields a NULL-feature row; the
+    NotImplementedError codec stub still raises (deployment error, not
+    bad data)."""
+    def picky(blob: bytes) -> np.ndarray:
+        if blob.startswith(b"BAD"):
+            raise ValueError("corrupt frame")
+        return fake_audio_decoder(blob)
+
+    audio = spark.createDataFrame(
+        [("a_ok", b"\x01\x02\x03\x04"), ("a_bad", b"BADBYTES")],
+        "audio_id string, bytes binary")
+    out = audio_features(audio, decoder=picky).toPandas().set_index("audio_id")
+    assert out.loc["a_ok", "duration_samples"] == 4
+    assert pd.isna(out.loc["a_bad", "rms"])
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="(?i)audio codec|NotImplemented"):
+        audio_features(audio.where("audio_id = 'a_ok'")).collect()
