@@ -58,6 +58,11 @@ def _part1by1_col(c: Column) -> Column:
 
 
 def ix_col(lon: Column, level: int) -> Column:
+    # NULL caveat: greatest(0, NULL) SKIPS the null (SQL semantics), so a
+    # NULL coordinate clamps to index 0 rather than propagating — callers
+    # with nullable coords must when()-gate the cell (sources/images.py
+    # does); adding the gate here would blow the codegen tree (docstring
+    # below).
     n = 1 << level
     raw = F.floor((lon - F.lit(LON_MIN)) / F.lit(LON_MAX - LON_MIN) * F.lit(n))
     return F.least(F.lit(n - 1), F.greatest(F.lit(0), raw)).cast("long")

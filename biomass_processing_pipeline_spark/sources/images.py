@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,8 +33,23 @@ def load_images(spark: SparkSession, fixture_dir: str) -> DataFrame:
 
 @pandas_udf(_POS_TYPE)
 def _offset_udf(tx: pd.Series, ty: pd.Series, seq: pd.Series) -> pd.DataFrame:
-    lon, lat = tile_offset_np(tx.to_numpy(), ty.to_numpy(), seq.to_numpy())
-    return pd.DataFrame({"lon": lon, "lat": lat})
+    # malformed image_id -> NULL tx/ty/seq (try_cast upstream), which
+    # Arrow hands us as NaN: mask those rows to NULL lon/lat instead of
+    # hashing garbage. NULL (not NaN) matters — ANSI would raise casting
+    # NaN inside the downstream Morton cell expression.
+    txv = tx.to_numpy(np.float64, na_value=np.nan)
+    tyv = ty.to_numpy(np.float64, na_value=np.nan)
+    sv = seq.to_numpy(np.float64, na_value=np.nan)
+    bad = np.isnan(txv) | np.isnan(tyv) | np.isnan(sv)
+    lon, lat = tile_offset_np(
+        np.nan_to_num(txv).astype(np.int64),
+        np.nan_to_num(tyv).astype(np.int64),
+        np.nan_to_num(sv).astype(np.int64),
+    )
+    return pd.DataFrame({
+        "lon": pd.array(np.where(bad, np.nan, lon), dtype="Float64"),
+        "lat": pd.array(np.where(bad, np.nan, lat), dtype="Float64"),
+    })
 
 
 # The function IS deterministic, but flagging it so stops Catalyst from
@@ -51,13 +67,31 @@ def with_footprint(images: DataFrame, level: int = cells.DEFAULT_LEVEL) -> DataF
     """
     df = (
         images
-        .withColumn("tx", F.regexp_extract("image_id", r"^T(\d)(\d)_", 1).cast("int"))
-        .withColumn("ty", F.regexp_extract("image_id", r"^T(\d)(\d)_", 2).cast("int"))
+        # try_cast: a malformed image_id (regexp_extract -> '' or a
+        # non-numeric trailing segment) must quarantine to NULL footprint
+        # columns, not raise ANSI CAST_INVALID_INPUT and kill the scan —
+        # the reference's regex parse likewise skips non-matching names
+        # (coordinate_utils_v3.py:200-229). NULL cell_id rows drop out of
+        # the spatial equi-joins; nothing else is affected.
+        .withColumn("tx", F.regexp_extract(
+            "image_id", r"^T(\d)(\d)_", 1).try_cast("int"))
+        .withColumn("ty", F.regexp_extract(
+            "image_id", r"^T(\d)(\d)_", 2).try_cast("int"))
         .withColumn("band", F.regexp_extract("image_id", r"_(B\d\d)_", 1))
-        .withColumn("seq", F.element_at(F.split("image_id", "_"), -1).cast("long"))
+        .withColumn("seq", F.element_at(
+            F.split("image_id", "_"), -1).try_cast("long"))
         .withColumn("_pos", _offset_udf(F.col("tx"), F.col("ty"), F.col("seq")))
         .withColumn("lon", F.col("_pos.lon"))
         .withColumn("lat", F.col("_pos.lat"))
         .drop("_pos")
     )
-    return df.withColumn("cell_id", cells.cell_id_col(F.col("lon"), F.col("lat"), level))
+    # NULL-gate the cell: cell_id_col's clamp (greatest(0, raw)) SKIPS
+    # nulls, so a quarantined NULL-lon row would otherwise silently land
+    # in cell (0,0) instead of staying out of the spatial joins
+    return df.withColumn(
+        "cell_id",
+        F.when(
+            F.col("lon").isNotNull() & F.col("lat").isNotNull(),
+            cells.cell_id_col(F.col("lon"), F.col("lat"), level),
+        ),
+    )

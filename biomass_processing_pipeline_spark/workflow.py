@@ -72,7 +72,11 @@ def biomass_result_table(spark: SparkSession, fixture_dir: str,
 
     partials = decode_partials(images)
     per_image = partials.select(
-        F.element_at(F.split("image_id", "_"), -1).cast("long").alias("seq"),
+        # try_cast: a malformed image_id quarantines to NULL seq (falls
+        # out of the seq-keyed joins, like its NULL footprint does) rather
+        # than raising ANSI CAST_INVALID_INPUT mid-scan
+        F.element_at(F.split("image_id", "_"), -1).try_cast("long")
+        .alias("seq"),
         "image_id", "phash_ok", "px_count",
         # try_divide: a quarantined (undecodable) image has px_count = 0
         # -> NULL band means + phash_ok=False, not an ANSI job kill

@@ -1,3 +1,4 @@
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -45,3 +46,28 @@ def test_pip_points_outside_all_polygons(spark, smoke_dir):
     }))
     out = assign_points_to_polygons(spark, pts, counties, "fips", point_key="pid")
     assert out.count() == 0  # dropped, not misassigned
+
+
+def test_malformed_image_id_quarantines_to_null_footprint(spark):
+    """A malformed image_id must parse to NULL tx/ty/seq/lon/lat/cell_id
+    (dropping out of the spatial equi-joins) — under Spark 4 ANSI the
+    former plain cast raised CAST_INVALID_INPUT and one bad name killed
+    the whole footprint pass. Well-formed rows are untouched."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from biomass_processing_pipeline_spark.sources.images import with_footprint
+
+    ids = spark.createDataFrame(
+        [("T34_B02_20200101_00000042",),
+         ("not-a-valid-id",),
+         ("T34_B02_oops_notanumber",)],
+        "image_id string")
+    got = with_footprint(ids).toPandas().set_index("image_id")
+    good = got.loc["T34_B02_20200101_00000042"]
+    assert good.tx == 3 and good.ty == 4 and good.seq == 42
+    assert np.isfinite(good.lon) and pd.notna(good.cell_id)
+    for bad in ["not-a-valid-id", "T34_B02_oops_notanumber"]:
+        row = got.loc[bad]
+        assert pd.isna(row.seq) and pd.isna(row.lon) and pd.isna(row.lat)
+        assert pd.isna(row.cell_id)
