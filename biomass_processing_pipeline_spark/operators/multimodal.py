@@ -98,10 +98,14 @@ def video_frame_sample(
         for pdf in it:
             rows = []
             for t in pdf.itertuples(index=False):
-                if t.n_frames <= 0:  # frame-less video: nothing to sample
+                # frame-less / NULL-metadata / NULL-blob video: nothing to
+                # sample (Arrow hands NULL ints as NaN/NA, whose <= is
+                # False or raises — normalize first)
+                n_frames = t.n_frames if isinstance(t.n_frames, (int, np.integer)) else 0
+                if n_frames <= 0 or t.bytes is None:
                     continue
-                frame_len = len(t.bytes) // t.n_frames
-                for fi in range(0, t.n_frames, every_k):
+                frame_len = len(t.bytes) // n_frames
+                for fi in range(0, n_frames, every_k):
                     blob = t.bytes[fi * frame_len : (fi + 1) * frame_len]
                     # quarantine, don't crash: a corrupt frame keeps its
                     # row (NULL stats) so frame accounting stays intact

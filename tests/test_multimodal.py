@@ -84,13 +84,18 @@ def test_corrupt_image_and_frame_quarantined(spark):
     frame = imaging.encode_image(good_px, "raw")
     vid = frame + b"\x00" * len(frame)
     videos = spark.createDataFrame(
-        [("v1", vid, 2, 8, 8), ("v0", b"", 0, 8, 8)],
+        [("v1", vid, 2, 8, 8), ("v0", b"", 0, 8, 8),
+         # NULL metadata / NULL blob: Arrow hands NULL ints as NaN/NA,
+         # which must skip cleanly, not TypeError inside the UDF
+         ("vnull_n", vid, None, 8, 8), ("vnull_b", None, 2, 8, 8)],
         "video_id string, bytes binary, n_frames int, w int, h int")
     vf = (video_frame_sample(videos, every_k=1).toPandas()
           .set_index(["video_id", "frame_idx"]).sort_index())
     assert np.isfinite(vf.loc[("v1", 0), "mean_lum"])
     assert pd.isna(vf.loc[("v1", 1), "mean_lum"])  # corrupt frame kept, NULL
-    assert "v0" not in vf.index.get_level_values(0)  # frame-less: no rows
+    top = vf.index.get_level_values(0)
+    for vid_id in ("v0", "vnull_n", "vnull_b"):  # nothing to sample: no rows
+        assert vid_id not in top
 
 
 def test_corrupt_audio_quarantined_stub_stays_loud(spark):
