@@ -58,6 +58,21 @@ def distance_deg(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Colu
     return F.sqrt(dx * dx + dy * dy)
 
 
+def _valid_coords(df: DataFrame) -> DataFrame:
+    """Drop rows with NULL/NaN coordinates before any kNN plan sees them.
+
+    An undefined position has no defined neighbors (quarantined footprints
+    now produce NULL lon/lat — sources/images.py); without this gate a
+    NULL coordinate clamps into cell 0 via greatest()'s NULL-skip and a
+    NaN poisons the numpy top-k (NaN distances sort last, the completeness
+    proof never fires, and the brute-force fallback emits garbage ranks).
+    Native scan-level filter: no shuffle, negligible at any scale."""
+    return df.where(
+        F.col("lon").isNotNull() & F.col("lat").isNotNull()
+        & ~F.isnan("lon") & ~F.isnan("lat")
+    )
+
+
 def _build_target_index(targets: DataFrame, target_key: str, level: int,
                         attr_cols: list[str],
                         raw_cols: list[str] = ()) -> dict:
@@ -404,7 +419,11 @@ def knn_join(
        consumed twice (results + completeness) and must not recompute.
     2. **fallback**: the (few) unprovable points get an exact brute-force
        window over a cross join with all targets.
+
+    NULL/NaN-coordinate rows (either side) are dropped up front — an
+    undefined position has no defined neighbors (``_valid_coords``).
     """
+    points, targets = _valid_coords(points), _valid_coords(targets)
     stats_row = targets.agg(
         F.count("*").alias("n"),
         F.min("lon").alias("x0"), F.max("lon").alias("x1"),
@@ -625,6 +644,8 @@ def knn_weighted_agg_fused(
     sums, so the points x k stream still never materializes.
     """
     # ---- phase 1 setup: identical sizing logic to knn_join ----
+    # (incl. the NULL/NaN coordinate gate — see _valid_coords)
+    points, targets = _valid_coords(points), _valid_coords(targets)
     stats_row = targets.agg(
         F.count("*").alias("n"),
         F.min("lon").alias("x0"), F.max("lon").alias("x1"),

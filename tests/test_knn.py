@@ -161,3 +161,55 @@ def test_knn_empty_targets(spark):
     assert a.count() == 0
     assert [f.name for f in a.schema] == [
         "image_id", "sum_w", "n_neighbors", "w_attr_1"]
+
+
+def test_knn_null_nan_coords_dropped(spark):
+    """NULL/NaN coordinates (what a quarantined footprint produces) must
+    drop from BOTH sides of every plan — not clamp into cell 0 via
+    greatest()'s NULL-skip or poison the numpy top-k with NaN distances.
+    Valid rows are unaffected (exact vs in-test brute force)."""
+    from biomass_processing_pipeline_spark.operators.knn import (
+        knn_weighted_agg_fused,
+    )
+
+    rng = np.random.default_rng(11)
+    t = pd.DataFrame({
+        "plot_cn": np.arange(50, dtype=np.int64),
+        "lon": rng.uniform(-1, 1, 50), "lat": rng.uniform(-1, 1, 50),
+        "attr_1": rng.uniform(0, 9, 50),
+    })
+    # two poisoned targets: NULL lon, NaN lat
+    t_bad = pd.concat([t, pd.DataFrame({
+        "plot_cn": [900, 901], "lon": [None, 0.0], "lat": [0.0, np.nan],
+        "attr_1": [1.0, 1.0],
+    })], ignore_index=True)
+    p = pd.DataFrame({
+        "image_id": [f"p{i}" for i in range(10)],
+        "lon": rng.uniform(-1, 1, 10), "lat": rng.uniform(-1, 1, 10),
+    })
+    p_bad = pd.concat([p, pd.DataFrame({
+        "image_id": ["bad_null", "bad_nan"],
+        "lon": [None, np.nan], "lat": [0.0, 0.0],
+    })], ignore_index=True)
+    tdf = spark.createDataFrame(t_bad)
+    pdfs = spark.createDataFrame(p_bad)
+    for kwargs in ({}, {"local_index_threshold": 0}):  # both plans
+        got = (knn_join(pdfs, tdf, k=5, **kwargs).toPandas()
+               .sort_values(["image_id", "rank"]).reset_index(drop=True))
+        assert not set(got.image_id) & {"bad_null", "bad_nan"}
+        assert not set(got.plot_cn) & {900, 901}
+        rows = []
+        for r in p.itertuples(index=False):
+            dx = t.lon.to_numpy() - r.lon
+            dy = t.lat.to_numpy() - r.lat
+            d = np.sqrt(dx * dx + dy * dy)
+            order = np.lexsort((t.plot_cn.to_numpy(), d))[:5]
+            for rk, oi in enumerate(order):
+                rows.append((r.image_id, int(t.plot_cn[oi]), rk + 1))
+        exp = pd.DataFrame(rows, columns=["image_id", "plot_cn", "rank"]) \
+            .sort_values(["image_id", "rank"]).reset_index(drop=True)
+        assert (got.plot_cn == exp.plot_cn).all()
+    # fused path: same gate
+    agg = knn_weighted_agg_fused(pdfs, tdf, ["attr_1"], k=5).toPandas()
+    assert not set(agg.image_id) & {"bad_null", "bad_nan"}
+    assert len(agg) == len(p)
