@@ -15,6 +15,7 @@ does not hard-require Iceberg, SURVEY.md §7.0 point 1).
 from __future__ import annotations
 
 import os
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -134,6 +135,21 @@ def upsert_parquet(
 
     new = new.persist(StorageLevel.MEMORY_AND_DISK)
     try:
+        # NULL keys are unreachable by keep-latest (SQL equality never
+        # matches NULL, so the anti-join can never replace such a row —
+        # it would silently accumulate forever, or silently collapse in
+        # the seq_col window). The reference PK columns are NOT NULL
+        # (Postgres primary keys); hold callers to the same contract.
+        null_key = new.where(
+            reduce(lambda a, b: a | b,
+                   [F.col(c).isNull() for c in key_cols])
+        ).limit(1).count()
+        if null_key:
+            raise ValueError(
+                f"upsert batch contains NULL in key column(s) {key_cols}: "
+                "a NULL key can never be matched by a later upsert "
+                "(SQL equality skips NULLs) — filter or fill upstream"
+            )
         if seq_col is None:
             dup = (
                 new.groupBy(*key_cols).count()

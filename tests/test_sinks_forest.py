@@ -202,6 +202,14 @@ def test_upsert_intra_batch_last_wins(spark):
 
         with pytest.raises(ValueError, match="duplicate keys"):
             upsert_parquet(spark, dup.drop("seq"), out, ["k"])
+
+        # NULL key: unreachable by keep-latest (equality never matches
+        # NULL) — must raise loudly, matching the reference's NOT NULL PK
+        nullk = spark.createDataFrame(
+            pd.DataFrame({"k": [4, None], "v": ["d", "ghost"]})
+        )
+        with pytest.raises(ValueError, match="NULL in key"):
+            upsert_parquet(spark, nullk, out, ["k"])
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
