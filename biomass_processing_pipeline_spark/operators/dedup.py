@@ -66,8 +66,16 @@ def _shingle_batch(texts: list, k: int) -> list:
     lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=len(enc))
     out: list = [None] * len(enc)
     long_idx = np.flatnonzero(lens >= k)
-    for i in np.flatnonzero(lens < k):
-        out[i] = [int(hash_bytes_np(np.array([enc[i]], dtype=object))[0])]
+    short_idx = np.flatnonzero(lens < k)
+    if len(short_idx):
+        # one batched sweep for ALL short docs — not a 1-element
+        # hash_bytes_np call per doc (a many-tiny-doc corpus would
+        # otherwise degenerate back to per-row Python overhead)
+        short_h = hash_bytes_np(
+            np.array([enc[i] for i in short_idx], dtype=object)
+        )
+        for i, h in zip(short_idx, short_h):
+            out[i] = [int(h)]
     if len(long_idx) == 0:
         return out
     flat = np.frombuffer(b"".join(enc[i] for i in long_idx), dtype=np.uint8)

@@ -39,8 +39,14 @@ def weighted_mode(
     eps: float = 0.01,
 ) -> DataFrame:
     """A6 weighted mode: per point, the target category with the largest
-    summed weight; ties by smaller category value (deterministic)."""
-    j = knn.join(targets.select(target_key, type_col), target_key)
+    summed weight; ties by smaller category value (deterministic). NULL
+    categories are excluded from the vote (a neighbor with an unknown type
+    cannot nominate a winner); a point whose neighbors are ALL NULL-typed
+    yields no row — the fused caller left-joins so such points keep a
+    NULL mode."""
+    j = knn.join(targets.select(target_key, type_col), target_key).where(
+        F.col(type_col).isNotNull()
+    )
     wcol = 1.0 / (F.col("distance") + F.lit(eps))
     per_type = j.groupBy(point_key, type_col).agg(F.sum(wcol).alias("w"))
     w = Window.partitionBy(point_key).orderBy(F.desc("w"), F.asc(type_col))

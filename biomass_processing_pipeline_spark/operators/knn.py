@@ -598,18 +598,41 @@ def _local_fused(points: DataFrame, targets: DataFrame, attrs: list[str],
                 "n_neighbors": np.bincount(pt, minlength=m).astype(np.int64),
             }
             for a in attrs:
-                cols[f"w_{a}"] = np.bincount(
-                    pt, weights=wgt * t["attrs"][a][tg], minlength=m
-                ) / sum_w
+                av = t["attrs"][a][tg]
+                ok = ~np.isnan(av)
+                # NULL attrs contribute nothing to the numerator while the
+                # denominator keeps EVERY neighbor's weight — identical to
+                # the distributed plans' sum(w*attr)/sum(w) where F.sum
+                # skips the NULL products; a point whose top-k attrs are
+                # all NULL gets NULL, never 0/sum_w. (The packed index
+                # cannot tell a stored NaN from SQL NULL; both quarantine.)
+                num = np.bincount(pt[ok], weights=wgt[ok] * av[ok],
+                                  minlength=m)
+                n_ok = np.bincount(pt[ok], minlength=m)
+                col = pd.array(num / sum_w, dtype="Float64")
+                col[n_ok == 0] = pd.NA
+                cols[f"w_{a}"] = col
             if mode_attr:
                 cat = t["raw"][mode_attr][tg]
-                uq, code = np.unique(cat, return_inverse=True)
-                votes = np.bincount(
-                    pt * len(uq) + code, weights=wgt, minlength=m * len(uq)
-                ).reshape(m, len(uq))
-                # argmax returns the FIRST max -> ties take the smaller
-                # category (uq is sorted ascending), the documented A6 rule
-                cols[f"mode_{mode_attr}"] = uq[np.argmax(votes, axis=1)]
+                okc = ~pd.isna(cat)
+                # NULL categories never nominate a winner (the distributed
+                # plan's max skips them); all-NULL top-k -> NULL mode
+                uq, code = np.unique(cat[okc], return_inverse=True)
+                if len(uq):
+                    votes = np.bincount(
+                        pt[okc] * len(uq) + code, weights=wgt[okc],
+                        minlength=m * len(uq),
+                    ).reshape(m, len(uq))
+                    # argmax returns the FIRST max -> ties take the smaller
+                    # category (uq is sorted ascending), the A6 rule
+                    winner = uq[np.argmax(votes, axis=1)]
+                    voted = votes.sum(axis=1) > 0
+                else:
+                    winner = np.zeros(m)
+                    voted = np.zeros(m, dtype=bool)
+                mcol = pd.Series(winner, dtype="object")
+                mcol[~voted] = None
+                cols[f"mode_{mode_attr}"] = mcol
             yield pd.DataFrame(cols)
 
     return points.select(point_key, "lon", "lat").mapInPandas(gen, schema)
@@ -773,11 +796,15 @@ def knn_weighted_agg_fused(
             complete2 = ((F.sum("_cnt") >= k)
                          & (F.max("_dmax") <= F.lit(guard))).alias("complete")
         # argmax: max struct orders by (weight, -cat) -> ties take the
-        # smaller category, the documented A6 tie rule
-        mode_col = F.max(F.struct(
+        # smaller category, the documented A6 tie rule. NULL categories
+        # are excluded from the vote (the F.when -> NULL struct is skipped
+        # by max): they still count toward sum_w / the means, but can
+        # never win; a point whose cats are ALL NULL gets a NULL mode —
+        # same rule as the local kernel and weighted_mode.
+        mode_col = F.max(F.when(F.col(mode_attr).isNotNull(), F.struct(
             F.col("_w"), (-F.col(mode_attr)).alias("_neg"),
             F.col(mode_attr).alias("_cat"),
-        ))["_cat"].alias(f"mode_{mode_attr}")
+        )))["_cat"].alias(f"mode_{mode_attr}")
         agg = per_cat.groupBy(point_key).agg(
             F.sum("_w").alias("sum_w"),
             F.sum("_cnt").alias("n_neighbors"),
@@ -809,7 +836,9 @@ def knn_weighted_agg_fused(
             target_key=target_key, eps=eps,
         ).select(point_key,
                  F.col("dominant_type").alias(f"mode_{mode_attr}"))
-        fb = fb.join(fb_mode, point_key)
+        # left: a straggler whose top-k cats are ALL NULL has no
+        # weighted_mode row — it keeps a NULL mode, same as the main path
+        fb = fb.join(fb_mode, point_key, "left")
     return done.unionByName(fb.select(*done.columns))
 
 

@@ -14,12 +14,16 @@
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
+
+_D6 = Decimal("0.000001")
 
 
 def _cosine_col(a: str, b: str) -> F.Column:
@@ -77,12 +81,16 @@ def brute_force_topk(
     )
     t = emb.select(F.col(id_col).alias("target_id"), F.col(vec_col).alias("t_vec"))
     if broadcast_elems > 0:
-        n_t, dim = emb.agg(
-            F.count("*"), F.max(F.size(vec_col))
-        ).head() or (0, 0)
+        n_t, dim, dim_min, n_null = emb.agg(
+            F.count("*"), F.max(F.size(vec_col)), F.min(F.size(vec_col)),
+            F.sum(F.when(F.col(vec_col).isNull(), 1).otherwise(0)),
+        ).head() or (0, 0, 0, 0)
+        # the packed matrix needs a rectangular, non-NULL target side;
+        # NULL or ragged rows route to the crossJoin plan, whose NULL
+        # cosine quarantines them row-by-row instead of killing the job
         if (n_t or 0) and n_t * (dim or 0) <= broadcast_elems and (
             n_t <= broadcast_rows
-        ):
+        ) and not (n_null or 0) and (dim_min or 0) == (dim or 0):
             return _topk_matmul_broadcast(q, t, k)
     j = (
         q.crossJoin(t)
@@ -100,14 +108,33 @@ def brute_force_topk(
     )
 
 
+def _spark_round6(a: np.ndarray) -> np.ndarray:
+    """Exactly Spark's ``round(x, 6)`` on doubles: HALF_UP on the SHORTEST
+    DECIMAL REPR (java ``BigDecimal.valueOf`` = ``Double.toString``), which
+    ``repr(float)`` reproduces bit-for-bit. NOT ``np.round`` — numpy rounds
+    the binary value half-even, so e.g. 2.5e-06 -> 2e-06 under numpy but
+    3e-06 under Spark. Deduped before the per-value Decimal hop, so a
+    mass-tie corpus (all-identical vectors) costs one conversion, not N."""
+    uniq, inv = np.unique(a, return_inverse=True)
+    out = np.fromiter(
+        (float(Decimal(repr(v)).quantize(_D6, rounding=ROUND_HALF_UP))
+         for v in uniq.tolist()),
+        dtype=np.float64, count=len(uniq),
+    )
+    return out[inv]
+
+
 def _topk_matmul_broadcast(q: DataFrame, t: DataFrame, k: int) -> DataFrame:
     """Map-only exact top-k: targets as a broadcast (N, dim) float64 matrix,
     one BLAS matmul per query chunk, local (rounded-cosine desc, id asc)
     selection. Bit-identical rows to the crossJoin window plan: the HOF
     path casts each float32 element to double before multiplying, exactly
-    as the packed matrix does, and ranking compares the ROUNDED cosine so
-    summation-order ulps cannot reorder ranks that the window plan's
-    rounded sort key would not also reorder."""
+    as the packed matrix does; selection first takes a raw-score top-k
+    with a 1.1e-6 safety band (rounding moves a double by <= 5e-7, so no
+    row outside the band can enter the rounded top-k), then re-ranks the
+    band on the EXACTLY-Spark-rounded cosine (:func:`_spark_round6`) with
+    id tiebreak — so summation-order ulps and numpy-vs-Spark rounding
+    conventions cannot produce a row the window plan would not."""
     t_pdf = t.toPandas()
     ids = t_pdf["target_id"].to_numpy()
     mat = (
@@ -137,19 +164,33 @@ def _topk_matmul_broadcast(q: DataFrame, t: DataFrame, k: int) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0 or n_t == 0:
                 continue
-            qids_all = pdf["query_id"].to_numpy()
-            qm_all = np.vstack(pdf["q_vec"].to_numpy()).astype(np.float64)
-            for s in range(0, len(pdf), step):
+            dim = mat.shape[1]
+            qv_all = pdf["q_vec"].to_numpy()
+            # NULL / ragged query vectors: the crossJoin plan gives them a
+            # NULL cosine against every target (zero output rows for that
+            # query) — skip them here for the same result instead of
+            # letting np.vstack kill the task
+            q_ok = np.fromiter(
+                (v is not None and len(v) == dim for v in qv_all),
+                dtype=bool, count=len(qv_all),
+            )
+            if not q_ok.any():
+                continue
+            qids_all = pdf["query_id"].to_numpy()[q_ok]
+            qm_all = np.vstack(qv_all[q_ok]).astype(np.float64)
+            for s in range(0, len(qids_all), step):
                 qids = qids_all[s:s + step]
                 qm = qm_all[s:s + step]
                 q_norm = np.sqrt((qm * qm).sum(axis=1))
                 with np.errstate(divide="ignore", invalid="ignore"):
-                    scores = np.round(
-                        (qm @ mat.T) / (q_norm[:, None] * t_norm[None, :]), 6
+                    scores = (
+                        (qm @ mat.T) / (q_norm[:, None] * t_norm[None, :])
                     )
                 # zero-norm query/target -> NaN: mask to -inf so the
                 # selection below excludes it, exactly as the crossJoin
-                # plan's isnan filter does
+                # plan's isnan filter does. (A NULL ELEMENT inside a
+                # vector also lands here as NaN — the HOF plan's NULL
+                # product excludes exactly the same pairs.)
                 scores[~np.isfinite(scores)] = -np.inf
                 oq, ot, oc, orank = [], [], [], []
                 for i in range(len(qids)):
@@ -162,15 +203,19 @@ def _topk_matmul_broadcast(q: DataFrame, t: DataFrame, k: int) -> DataFrame:
                     if n_t > kk:
                         part = np.argpartition(-row, kk - 1)
                         kth = row[part[kk - 1]]
-                        cand = np.flatnonzero(row >= kth)  # keep ALL ties
+                        # 1.1e-6 band: any row the ROUNDED ordering could
+                        # still admit (rounding displaces <= 5e-7 + ulp)
+                        cand = np.flatnonzero(row >= kth - 1.1e-6)
                     else:
                         cand = np.arange(n_t)
                     cand = cand[row[cand] > -np.inf]
-                    order = cand[np.lexsort((ids[cand], -row[cand]))][:kk]
+                    r6 = _spark_round6(row[cand])
+                    sortp = np.lexsort((ids[cand], -r6))[:kk]
+                    order = cand[sortp]
                     m = len(order)
                     oq.append(np.repeat(qids[i], m))
                     ot.append(ids[order])
-                    oc.append(row[order])
+                    oc.append(r6[sortp])
                     orank.append(np.arange(1, m + 1, dtype=np.int32))
                 if oq:
                     yield pd.DataFrame({

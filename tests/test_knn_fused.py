@@ -75,3 +75,43 @@ def test_fused_shuffle_fallback_parity(spark, smoke_dir):
         assert np.allclose(other.sum_w, local.sum_w, rtol=1e-12)
         assert np.allclose(other.w_attr_1, local.w_attr_1, rtol=1e-12)
         assert np.allclose(other.w_attr_2, local.w_attr_2, rtol=1e-12)
+
+
+def test_fused_null_attr_and_cat_parity(spark, smoke_dir):
+    """NULL target attrs / mode categories: one rule, every plan. A NULL
+    attr contributes nothing to the weighted-mean numerator while its
+    weight stays in the denominator (all-NULL top-k -> NULL mean, never
+    NaN or 0/sum_w); a NULL category never wins the vote (all-NULL ->
+    NULL mode). The local-index kernel and the distributed two-level agg
+    must return the SAME rows."""
+    fp = with_footprint(
+        load_images(spark, smoke_dir).select("image_id")
+    ).limit(120)
+    plots = (
+        spark.read.parquet(f"{smoke_dir}/plots.parquet")
+        # 1/7 of attrs non-NULL -> a decent share of points see an
+        # all-NULL top-10; 1/2 of categories NULL
+        .withColumn("attr_1", F.when(F.col("plot_cn") % 7 == 0,
+                                     F.col("attr_1")))
+        .withColumn("ftype", F.when(F.col("plot_cn") % 2 == 0,
+                                    (F.col("plot_cn") % 4).cast("int")))
+    )
+    kw = dict(attrs=["attr_1"], k=10, mode_attr="ftype")
+    local = knn_weighted_agg_fused(fp, plots, **kw).toPandas() \
+        .set_index("image_id").sort_index()
+    dist = knn_weighted_agg_fused(
+        fp, plots, local_index_threshold=0, **kw
+    ).toPandas().set_index("image_id").sort_index()
+    assert len(local) == len(dist) == 120
+    assert (local.n_neighbors == dist.n_neighbors).all()
+    assert np.allclose(local.sum_w, dist.sum_w, rtol=1e-12)
+    # NaN (<- SQL NULL) must line up exactly, values tightly
+    assert (local.w_attr_1.isna() == dist.w_attr_1.isna()).all()
+    assert local.w_attr_1.isna().any(), "fixture should produce all-NULL points"
+    m = ~local.w_attr_1.isna()
+    assert np.allclose(local.w_attr_1[m], dist.w_attr_1[m], rtol=1e-12)
+    assert (local.mode_ftype.isna() == dist.mode_ftype.isna()).all()
+    mm = ~local.mode_ftype.isna()
+    assert (local.mode_ftype[mm] == dist.mode_ftype[mm]).all()
+    # NULL never wins: every non-null mode is an even plot_cn's category
+    assert set(local.mode_ftype[mm].unique()) <= {0.0, 1.0, 2.0, 3.0}

@@ -248,3 +248,68 @@ def test_band_exchange_carries_no_vectors(spark):
             assert "embedding" not in line, line
     # the shuffled attributes are exactly the slim trio + ids
     assert "embedding" not in plan.split("Exchange", 1)[1].split("\n")[0]
+
+
+def test_spark_round6_matches_spark_round_bitexact(spark):
+    """_spark_round6 must reproduce Spark's round(x, 6) BIT-EXACTLY —
+    including the half-boundary shortest-repr values where np.round
+    (binary half-even) disagrees with Spark (HALF_UP on the decimal
+    repr): 2.5e-06 -> 3e-06 in Spark, 2e-06 under numpy."""
+    from biomass_processing_pipeline_spark.operators.similarity import (
+        _spark_round6,
+    )
+
+    rng = np.random.default_rng(11)
+    vals = [2.5e-06, 3.5e-06, 4.5e-06, -2.5e-06, -3.5e-06, 1.25e-05,
+            0.9999995, -0.9999995, 0.1234565, -0.1234565, 0.0, 1.0, -1.0]
+    vals += rng.uniform(-1, 1, 200).tolist()
+    # values a hair around the 1e-6 grid: the rounding cliff
+    grid = np.round(rng.uniform(-1, 1, 100), 6)
+    vals += (grid + 5e-07).tolist() + (grid - 5e-07).tolist()
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    want = [r[0] for r in df.select(F.round("x", 6).alias("r")).collect()]
+    got = _spark_round6(np.array(vals, dtype=np.float64))
+    assert [repr(g) for g in got.tolist()] == [repr(w) for w in want]
+
+
+def test_brute_force_quarantines_null_and_ragged_vectors(spark):
+    """A NULL or wrong-length embedding row must QUARANTINE (drop from
+    every ranking), never kill the job — in both plans, on both sides.
+    Dirty targets route the gate to the crossJoin plan; dirty queries
+    reaching the matmul kernel are skipped row-wise (zero output rows for
+    that query, exactly the fallback's NULL-cosine result)."""
+    rng = np.random.default_rng(3)
+    clean_rows = [
+        (i, rng.standard_normal(8).astype(np.float32).tolist())
+        for i in range(20)
+    ]
+    schema = "vec_id long, embedding array<float>"
+    dirty_t = spark.createDataFrame(
+        clean_rows + [(100, None), (101, [1.0, 2.0])], schema)
+    clean_t = spark.createDataFrame(clean_rows, schema)
+    q = spark.createDataFrame(
+        [clean_rows[0], clean_rows[1], (102, None), (103, [0.5] * 3)],
+        schema)
+
+    def norm(df):
+        return (df.toPandas().sort_values(["query_id", "rank"])
+                .reset_index(drop=True))
+
+    # dirty TARGETS: gate must fall back; parity with the pinned fallback
+    fast = brute_force_topk(dirty_t, q, k=3)
+    assert "MapInPandas" not in (
+        fast._jdf.queryExecution().executedPlan().toString())
+    slow = brute_force_topk(dirty_t, q, k=3, broadcast_elems=0)
+    got = norm(fast)
+    pd.testing.assert_frame_equal(got, norm(slow))
+    assert set(got.query_id) == {0, 1}
+    assert not {100, 101} & set(got.target_id)
+
+    # clean targets, dirty QUERIES: matmul plan engages and skips them
+    fast2 = brute_force_topk(clean_t, q, k=3)
+    assert "MapInPandas" in (
+        fast2._jdf.queryExecution().executedPlan().toString())
+    got2 = norm(fast2)
+    pd.testing.assert_frame_equal(
+        got2, norm(brute_force_topk(clean_t, q, k=3, broadcast_elems=0)))
+    assert set(got2.query_id) == {0, 1}
