@@ -42,8 +42,16 @@ def _cosine_col(a: str, b: str) -> F.Column:
     # try_divide: a zero-norm vector has no defined cosine -> NULL (which
     # every downstream threshold/rank filter excludes). Plain `/` THROWS
     # under Spark 4's default ANSI mode — one degenerate row would
-    # otherwise kill the whole job.
-    return F.try_divide(dot, F.sqrt(na * nb))
+    # otherwise kill the whole job. nanvl: a NaN/inf ELEMENT inside a
+    # vector makes the ratio NaN (NaN dot / NaN norm, or inf/inf) — and
+    # Spark ORDERS NaN above every double and evaluates `NaN >= t` as
+    # true, so an un-masked NaN would outrank every real neighbor and
+    # match every threshold. Map it to NULL so all four consumers
+    # (brute-force rank, dup threshold, LSH refine, IVF probe) exclude
+    # it — exactly the matmul fast path's non-finite mask.
+    return F.nanvl(
+        F.try_divide(dot, F.sqrt(na * nb)), F.lit(None).cast("double")
+    )
 
 
 def brute_force_topk(

@@ -313,3 +313,48 @@ def test_brute_force_quarantines_null_and_ragged_vectors(spark):
     pd.testing.assert_frame_equal(
         got2, norm(brute_force_topk(clean_t, q, k=3, broadcast_elems=0)))
     assert set(got2.query_id) == {0, 1}
+
+
+def test_nan_element_vectors_never_match_or_rank(spark):
+    """A literal NaN (or inf) ELEMENT inside a vector makes the cosine
+    undefined. Spark orders NaN ABOVE every double and evaluates
+    ``NaN >= t`` as TRUE, so an unmasked NaN ratio would outrank every
+    real neighbor in the crossJoin plan and match every row in the
+    dup-pair threshold — while the matmul fast path masks non-finite
+    scores to -inf. ``_cosine_col`` maps NaN -> NULL (nanvl) so all plans
+    agree: a poisoned TARGET never ranks/matches, a poisoned QUERY yields
+    zero rows."""
+    from biomass_processing_pipeline_spark.operators.similarity import (
+        cosine_dup_pairs,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = [(i, rng.standard_normal(8).astype(np.float32).tolist())
+            for i in range(10)]
+    rows.append((10, [float("nan")] * 8))           # NaN-element target
+    rows.append((11, [float("inf")] + [1.0] * 7))   # inf-element target
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    q = df.where(F.col("vec_id").isin([0, 10]))  # one real + the NaN query
+
+    def norm(d):
+        return (d.toPandas().sort_values(["query_id", "rank"])
+                .reset_index(drop=True))
+
+    fast = brute_force_topk(df, q, k=3)
+    assert "MapInPandas" in (  # NaN rows are non-NULL and rectangular:
+        fast._jdf.queryExecution().executedPlan().toString()
+    )  # the matmul gate engages — parity is live, not vacuous
+    got = norm(fast)
+    pd.testing.assert_frame_equal(
+        got, norm(brute_force_topk(df, q, k=3, broadcast_elems=0)))
+    assert set(got.query_id.unique()) == {0}        # NaN query: zero rows
+    assert not {10, 11} & set(got.target_id)        # poisoned never ranks
+    assert (got[got.query_id == 0]["rank"].to_numpy() == [1, 2, 3]).all()
+
+    # threshold filter: NaN >= t must not sneak through as "true" —
+    # threshold=-1 matches every DEFINED cosine, so the poisoned ids
+    # are excluded by semantics, not by the bar being high
+    dups = cosine_dup_pairs(df, threshold=-1.0).toPandas()
+    assert not {10, 11} & (set(dups.id_a) | set(dups.id_b))
+    assert len(dups) == 45  # C(10,2) real pairs all match at t=-1
