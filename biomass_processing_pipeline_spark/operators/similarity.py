@@ -298,14 +298,40 @@ def _all_planes(dim: int, n_bits: int, n_tables: int, seed: int) -> np.ndarray:
     return p
 
 
+def _clean_vec_rows(vals: np.ndarray, dim: int):
+    """Row-wise quarantine mask for an Arrow batch of vectors: a row is
+    CLEAN iff the vector is non-NULL, exactly ``dim`` long, and every
+    element is finite (a NULL element arrives from Arrow as NaN). Returns
+    ``(ok_mask, packed_float64_matrix_of_clean_rows)``. Shared by the LSH
+    signature, IVF assign and IVF probe kernels so one poisoned row
+    quarantines instead of crashing ``np.vstack`` or — worse — riding
+    into a centroid sum."""
+    ok = np.fromiter(
+        (v is not None and len(v) == dim for v in vals),
+        dtype=bool, count=len(vals),
+    )
+    if not ok.any():
+        return ok, np.empty((0, dim), np.float64)
+    m = np.vstack(vals[ok]).astype(np.float64)
+    finite = np.isfinite(m).all(axis=1)
+    if not finite.all():
+        ok[np.flatnonzero(ok)[~finite]] = False
+        m = m[finite]
+    return ok, m
+
+
 def _buckets_udf(dim: int, n_bits: int, n_tables: int, seed: int = 42):
     """ONE Arrow pass emitting every table's bucket: array<long> indexed by
     table (posexplode downstream). Replaces n_tables separate UDF
-    invocations (8 Arrow transfers of the corpus -> 1)."""
+    invocations (8 Arrow transfers of the corpus -> 1). Poisoned rows
+    (NULL / ragged / non-finite vectors) emit a NULL bucket array —
+    posexplode drops them, so they simply never band (their cosine is
+    undefined: they could never survive the refine anyway)."""
     @pandas_udf(T.ArrayType(T.LongType()))
     def buckets(vec: pd.Series) -> pd.Series:
         planes = _all_planes(dim, n_bits, n_tables, seed)
-        m = np.vstack(vec.to_numpy())
+        vals = vec.to_numpy()
+        ok, m = _clean_vec_rows(vals, dim)
         weights = np.left_shift(
             np.ones(n_bits, dtype=np.int64), np.arange(n_bits, dtype=np.int64)
         )
@@ -314,7 +340,9 @@ def _buckets_udf(dim: int, n_bits: int, n_tables: int, seed: int = 42):
             # per-table matmul keeps the float summation order identical
             # to the legacy per-table UDF: same sign bits, same buckets
             out[:, t] = ((m @ planes[t].T) > 0) @ weights
-        return pd.Series(list(out))
+        res = np.full(len(vals), None, dtype=object)
+        res[np.flatnonzero(ok)] = list(out)
+        return pd.Series(res)
 
     # deterministic in fact, but flagged nondeterministic so Catalyst's
     # generate-pushdown (size(bks) > 0) can't DUPLICATE the Arrow eval —
@@ -410,26 +438,45 @@ def _sq_dists(m: np.ndarray, cent: np.ndarray) -> np.ndarray:
 
 
 def _assign_udf(centroids: np.ndarray):
-    """argmin-distance list assignment against broadcast centroids."""
+    """argmin-distance list assignment against broadcast centroids.
+    Poisoned rows (NULL / ragged / non-finite vectors) get a NULL
+    list_id — the downstream equi-join never matches it, so they
+    quarantine instead of landing in an arbitrary list (``np.argmin``
+    returns the FIRST NaN index on a NaN distance row)."""
     cent = np.asarray(centroids, dtype=np.float64)
 
     @pandas_udf(T.IntegerType())
     def assign1(vec: pd.Series) -> pd.Series:
-        m = np.vstack(vec.to_numpy()).astype(np.float64)
-        return pd.Series(_sq_dists(m, cent).argmin(axis=1).astype(np.int32))
+        vals = vec.to_numpy()
+        ok, m = _clean_vec_rows(vals, cent.shape[1])
+        out = pd.Series([None] * len(vals), dtype="Int32")
+        if len(m):
+            out.iloc[np.flatnonzero(ok)] = (
+                _sq_dists(m, cent).argmin(axis=1).astype(np.int32)
+            )
+        return out
 
     return assign1
 
 
 def _probe_udf(centroids: np.ndarray, n_probe: int):
-    """n_probe nearest centroid lists per query vector."""
+    """n_probe nearest centroid lists per query vector. Poisoned query
+    rows (NULL / ragged / non-finite) get a NULL list array — explode
+    drops them, yielding zero result rows for that query, exactly the
+    brute-force plans' quarantine semantics."""
     cent = np.asarray(centroids, dtype=np.float64)
 
     @pandas_udf(T.ArrayType(T.IntegerType()))
     def probe(vec: pd.Series) -> pd.Series:
-        m = np.vstack(vec.to_numpy()).astype(np.float64)
-        order = np.argsort(_sq_dists(m, cent), axis=1)[:, :n_probe]
-        return pd.Series([row.astype(np.int32).tolist() for row in order])
+        vals = vec.to_numpy()
+        ok, m = _clean_vec_rows(vals, cent.shape[1])
+        res = np.full(len(vals), None, dtype=object)
+        if len(m):
+            order = np.argsort(_sq_dists(m, cent), axis=1)[:, :n_probe]
+            res[np.flatnonzero(ok)] = [
+                row.astype(np.int32).tolist() for row in order
+            ]
+        return pd.Series(res)
 
     return probe
 
@@ -437,7 +484,7 @@ def _probe_udf(centroids: np.ndarray, n_probe: int):
 def train_centroids(
     emb: DataFrame, n_centroids: int = 16, vec_col: str = "embedding",
     sample_permille: int = 100, iters: int = 5, seed: int = 42,
-    id_col: str = "vec_id", tol: float = 0.0,
+    id_col: str = "vec_id", tol: float = 0.0, dim: int | None = None,
 ) -> np.ndarray:
     """DISTRIBUTED, deterministic Lloyd training (Spark-side; no
     driver-resident sample matrix, no sizing ``count()`` pass).
@@ -461,9 +508,25 @@ def train_centroids(
       iteration falls below it (movement of deterministic rounded
       centroids — the early exit is itself deterministic)
     - empty lists keep their previous centroid; a sample smaller than
-      ``n_centroids`` falls back to training on the full table.
+      ``n_centroids`` falls back to training on the full table
+    - poisoned vectors (NULL vector, or any NULL/NaN/inf element)
+      QUARANTINE from training: one NaN element in a sampled vector (or a
+      seed) would make a NaN centroid, and ``np.argmin`` returns the
+      first-NaN index, funneling EVERY vector into the poisoned list on
+      the next iteration — at corpus scale a single bad row would
+      otherwise destroy the whole index. With ``dim`` given, wrong-length
+      (ragged/truncated) vectors quarantine the same way; without it they
+      raise loudly in the seed/partial ``np.vstack`` (a mixed-dim corpus
+      with no declared dim is a config error, not dirty data).
     """
-    train = emb.select(id_col, vec_col).where(
+    dirty = lambda x: (  # noqa: E731 — tiny HOF predicate
+        x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
+    ok_vec = F.col(vec_col).isNotNull() & ~F.exists(F.col(vec_col), dirty)
+    if dim is not None:
+        ok_vec = ok_vec & (F.size(F.col(vec_col)) == F.lit(dim))
+    clean = emb.select(id_col, vec_col).where(ok_vec)
+    train = clean.where(
         F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1000))
         < F.lit(sample_permille)
     )
@@ -475,8 +538,8 @@ def train_centroids(
         .limit(n_centroids)
         .toPandas()
     )
-    if len(seeds) < n_centroids:  # tiny tables: train on everything
-        train = emb.select(id_col, vec_col)
+    if len(seeds) < n_centroids:  # tiny tables: train on everything clean
+        train = clean
         seeds = (
             train
             .orderBy(F.pmod(F.xxhash64(F.col(id_col), F.lit(seed + 1)),

@@ -358,3 +358,57 @@ def test_nan_element_vectors_never_match_or_rank(spark):
     dups = cosine_dup_pairs(df, threshold=-1.0).toPandas()
     assert not {10, 11} & (set(dups.id_a) | set(dups.id_b))
     assert len(dups) == 45  # C(10,2) real pairs all match at t=-1
+
+
+def test_ivf_and_lsh_quarantine_poisoned_vectors(spark):
+    """One poisoned vector must not destroy the IVF index: a NaN element
+    in a sampled vector (or a seed) makes a NaN centroid, and np.argmin
+    returns the FIRST NaN index on a NaN distance row — funneling every
+    vector into the poisoned list on the next iteration. Training
+    quarantines NULL/NaN/inf (and, with dim given, ragged) vectors; the
+    assign/probe/signature kernels quarantine row-wise (NULL list_id /
+    bucket array -> joins and explode drop them). Clean rows' results are
+    IDENTICAL to a run on the clean subset."""
+    rng = np.random.default_rng(31)
+    clean_rows = [(i, rng.standard_normal(16).astype(np.float32).tolist())
+                  for i in range(60)]
+    schema = "vec_id long, embedding array<float>"
+    clean = spark.createDataFrame(clean_rows, schema)
+    dirty = spark.createDataFrame(clean_rows + [
+        (100, [float("nan")] * 16),           # NaN element
+        (101, [float("inf")] + [0.5] * 15),   # inf element
+        (102, None),                          # NULL vector
+        (103, [1.0, 2.0]),                    # ragged (wrong dim)
+    ], schema)
+
+    cent_clean = train_centroids(clean, n_centroids=4, iters=3, dim=16)
+    cent_dirty = train_centroids(dirty, n_centroids=4, iters=3, dim=16)
+    assert np.isfinite(cent_dirty).all()
+    np.testing.assert_array_equal(cent_clean, cent_dirty)
+
+    def norm(pdf):
+        return (pdf.sort_values(["query_id", "rank"])
+                .reset_index(drop=True))
+
+    # n_probe = n_centroids: exhaustive probing, so clean-row results are
+    # exact and the only difference a poisoned row COULD make is wrongly
+    # appearing (it must not)
+    q_dirty = dirty.where(F.col("vec_id").isin([0, 1, 100, 102]))
+    got = norm(ivf_topk(dirty, q_dirty, cent_dirty, k=3, n_probe=4)
+               .toPandas())
+    assert set(got.query_id.unique()) == {0, 1}   # poisoned queries: 0 rows
+    assert not {100, 101, 102, 103} & set(got.target_id)
+    q_clean = clean.where(F.col("vec_id").isin([0, 1]))
+    want = norm(ivf_topk(clean, q_clean, cent_clean, k=3, n_probe=4)
+                .toPandas())
+    pd.testing.assert_frame_equal(got, want)
+
+    # LSH path: poisoned rows never band (NULL bucket array), clean rows
+    # band identically to the clean corpus
+    got_lsh = norm(lsh_topk(dirty, q_dirty, k=3, n_bits=6, n_tables=4,
+                            dim=16).toPandas())
+    assert set(got_lsh.query_id.unique()) <= {0, 1}
+    assert not {100, 101, 102, 103} & set(got_lsh.target_id)
+    want_lsh = norm(lsh_topk(clean, q_clean, k=3, n_bits=6, n_tables=4,
+                             dim=16).toPandas())
+    pd.testing.assert_frame_equal(got_lsh, want_lsh)
