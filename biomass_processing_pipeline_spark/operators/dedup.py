@@ -540,12 +540,27 @@ def phash_dedup_groups(
     signature. Pigeonhole banding is complete for every max_hamming (the
     band count widens with the budget), so the grouping equals
     brute-force all-pairs Hamming + min-reachable-id
-    (oracled via a DuckDB recursive CTE in queries.py). With ``scope_col``
+    (oracled via a DuckDB recursive CTE in queries.py). A NULL signature
+    (a quarantined/undecodable image) is an UNKNOWN hash: the row comes
+    back as its own singleton group — never silently dropped, never
+    grouped with other unknowns. With ``scope_col``
     components cannot cross scopes, so CC runs as ``scoped_components``
     (one Arrow union-find pass — near-threshold sig graphs are often
     chain-shaped, which the iterative CC pays O(diameter) driver rounds
     for); unscoped falls back to ``dedup_components`` with ``max_iters``.
     """
+    # NULL signatures (e.g. an undecodable image whose phash was
+    # quarantined to NULL) are UNKNOWN hashes: they can be dups of
+    # nothing, so each is its own singleton group. Left in the main
+    # path they'd first be grouped as exact dups of each other (groupBy
+    # keeps a NULL group) and then VANISH at the final sig equi-join
+    # (NULL never matches NULL) — split them out up front instead.
+    null_sig = df.where(F.col(sig_col).isNull()).select(
+        F.col(id_col),
+        F.col(id_col).alias("rep_id"),
+        F.lit(1).cast("long").alias("group_size"),
+    )
+    df = df.where(F.col(sig_col).isNotNull())
     if scope_col:
         # NULL scopes would silently vanish through the equi-joins below
         # (and concat_ws skips NULLs, colliding with the unscoped vid
@@ -598,7 +613,7 @@ def phash_dedup_groups(
     )
     return base.join(sig2rep, [*scope, sig_col]).select(
         id_col, "rep_id", "group_size"
-    )
+    ).unionByName(null_sig)
 
 
 def scoped_components(

@@ -447,6 +447,33 @@ def test_phash_dedup_groups_null_scope_rows_survive(spark):
     assert (got.group_size == 2).all()
 
 
+def test_phash_dedup_groups_null_sig_rows_are_singletons(spark):
+    """A NULL signature (a quarantined/undecodable image) is an UNKNOWN
+    hash: the row must come back as its OWN singleton group — not vanish
+    at the sig equi-join, and not be grouped as an 'exact dup' of every
+    other unknown. Real-sig grouping must be unaffected, scoped and
+    unscoped alike."""
+    from biomass_processing_pipeline_spark.operators.dedup import (
+        phash_dedup_groups,
+    )
+
+    pdf = pd.DataFrame({
+        "image_id": ["a0", "a1", "u0", "u1", "b0"],
+        "phash": pd.array([100, 101, None, None, 900], dtype="Int64"),
+        "tile": ["T1", "T1", "T1", "T2", "T1"],
+    })
+    for kwargs in ({}, {"scope_col": "tile"}):
+        got = (phash_dedup_groups(spark.createDataFrame(pdf), "image_id",
+                                  "phash", max_hamming=1, **kwargs)
+               .toPandas().set_index("image_id"))
+        assert set(got.index) == {"a0", "a1", "u0", "u1", "b0"}
+        assert got.loc["u0"].rep_id == "u0" and got.loc["u0"].group_size == 1
+        assert got.loc["u1"].rep_id == "u1" and got.loc["u1"].group_size == 1
+        assert got.loc["a0"].rep_id == "a0" and got.loc["a1"].rep_id == "a0"
+        assert got.loc["a0"].group_size == 2
+        assert got.loc["b0"].rep_id == "b0" and got.loc["b0"].group_size == 1
+
+
 def test_minhash_empty_and_singleton_corpora(spark):
     """Degenerate inputs flow through both refine plans without error:
     an empty corpus and a single-doc corpus each produce zero pairs with
