@@ -35,11 +35,20 @@ _MERSENNE = (1 << 61) - 1
 
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
-    """Keep the min-id representative per identical content (md5 key)."""
+    """Keep the min-id representative per identical content (md5 key).
+
+    NULL content is UNKNOWN content, not identical content: each NULL row
+    keeps itself (n_copies=1). Left in the groupBy, md5(NULL)=NULL would
+    collapse every quarantined/unfetched document into ONE keep row — a
+    dedup pass downstream would then delete all but one of them."""
     h = df.select(F.col(id_col), F.md5(F.col(content_col)).alias("_h"))
-    return h.groupBy("_h").agg(
-        F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies")
+    nulls = h.where(F.col("_h").isNull()).select(
+        "_h", F.col(id_col).alias("keep_id"),
+        F.lit(1).cast("long").alias("n_copies"),
     )
+    return h.where(F.col("_h").isNotNull()).groupBy("_h").agg(
+        F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies")
+    ).unionByName(nulls)
 
 
 def _fnv_matrix(mat: np.ndarray) -> np.ndarray:

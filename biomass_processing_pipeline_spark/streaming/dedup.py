@@ -13,6 +13,7 @@ executors, exactly like the batch hash-partition shuffle.
 from __future__ import annotations
 
 import os
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,7 +37,14 @@ def run_dedup_stream(
     content key -> append-mode parquet sink. availableNow trigger so the
     same code runs reproducibly over a static directory in tests and
     incrementally on a live feed in production; the checkpoint carries the
-    dedup state across restarts (a re-run emits nothing new)."""
+    dedup state across restarts (a re-run emits nothing new).
+
+    Rows with a NULL dedup key BYPASS the gate: ``dropDuplicates`` treats
+    NULLs as equal, so a firehose of quarantined (NULL-hash) documents
+    would otherwise collapse to the single first arrival. An unknown key
+    can be a duplicate of nothing — those rows pass through to the batch
+    layer, whose exact/phash passes apply the same unknown-is-unique rule.
+    """
     key_cols = key_cols or ["content_hash"]
     chk = os.path.join(out_dir, "_chk")
     dst = os.path.join(out_dir, "deduped")
@@ -45,9 +53,14 @@ def run_dedup_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(src_dir)
     )
+    key_ok = reduce(
+        lambda a, b: a & b, [F.col(k).isNotNull() for k in key_cols]
+    )
+    wm = stream.withWatermark("ts", watermark)
     deduped = (
-        stream.withWatermark("ts", watermark)
+        wm.where(key_ok)
         .dropDuplicatesWithinWatermark(key_cols)
+        .unionByName(wm.where(~key_ok))
     )
     q = (
         deduped.writeStream.outputMode("append")
@@ -187,7 +200,15 @@ def run_image_driftdedup_stream(
     exactly the batch pipeline's distinct-(tile, sig) vertex set, and the
     greedy arrival-order semantics are ``drift_gate_core`` (unit-tested
     against a batch reference). availableNow + checkpoint as in
-    ``run_dedup_stream``."""
+    ``run_dedup_stream``.
+
+    Rows with a NULL tile_code, phash or ts BYPASS the gate: an
+    unhashed capture can be compared to nothing (and int64-casting a
+    NULL phash inside the kernel would produce garbage bits), and an
+    un-attributable (NULL-tile) capture must not gate against other
+    unknown-location captures that merely look alike. They pass through
+    to the batch layer, where ``phash_dedup_groups`` applies the same
+    NULL-sig-is-singleton rule."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -230,13 +251,17 @@ def run_image_driftdedup_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(src_dir)
     )
-    gated = stream.groupBy("tile_code").applyInPandasWithState(
+    ok = (
+        F.col("tile_code").isNotNull() & F.col("phash").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    gated = stream.where(ok).groupBy("tile_code").applyInPandasWithState(
         gate,
         outputStructType=IMAGES_SCHEMA,
         stateStructType="sigs array<long>, tss array<long>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    ).unionByName(stream.where(~ok))
     q = (
         gated.writeStream.outputMode("append")
         .option("checkpointLocation", chk)

@@ -698,3 +698,19 @@ def test_shingle_batch_matches_per_doc_reference():
         assert _shingle_batch(texts, k) == per_doc(texts, k)
 
     fuzz()
+
+
+def test_exact_dedup_null_content_rows_keep_themselves(spark):
+    """NULL content is UNKNOWN, not identical: md5(NULL)=NULL must not
+    collapse every quarantined doc into one keep row (a downstream dedup
+    delete would wipe all but one of them)."""
+    from biomass_processing_pipeline_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, None), (5, "b")],
+        "doc_id long, text string")
+    got = exact_dedup(df, "text", "doc_id").toPandas().set_index("keep_id")
+    assert set(got.index) == {1, 3, 4, 5}
+    assert got.loc[1, "n_copies"] == 2
+    assert (got.loc[[3, 4], "n_copies"] == 1).all()
+    assert got.loc[5, "n_copies"] == 1

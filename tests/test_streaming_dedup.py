@@ -446,3 +446,64 @@ def test_popcount64_fuzz_vs_python_bincount():
         assert list(got) == exp
 
     run()
+
+
+def test_streaming_null_keys_bypass_dedup_and_drift_gates(spark):
+    """Rows with NULL dedup keys must PASS THROUGH both streaming gates:
+    dropDuplicates treats NULLs as equal (a firehose of quarantined
+    NULL-hash docs would collapse to the first arrival), and the drift
+    gate's int64 cast of a NULL phash would produce garbage bits. An
+    unknown key can be a duplicate of nothing — the batch layer's
+    unknown-is-unique rule applies on arrival too."""
+    import datetime
+
+    import pandas as pd
+
+    from biomass_processing_pipeline_spark.streaming.dedup import (
+        run_dedup_stream, run_image_driftdedup_stream, IMAGES_SCHEMA,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+
+    def ts(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    # exact gate: one real dup pair + three NULL-hash docs
+    src = tempfile.mkdtemp(prefix="bpp_sdnull_src_")
+    out = tempfile.mkdtemp(prefix="bpp_sdnull_out_")
+    src2 = tempfile.mkdtemp(prefix="bpp_drnull_src_")
+    out2 = tempfile.mkdtemp(prefix="bpp_drnull_out_")
+    try:
+        docs = spark.createDataFrame(
+            [(1, ts(0), 10, "x"), (2, ts(1), 10, "x"),
+             (3, ts(0), None, "q1"), (4, ts(1), None, "q2"),
+             (5, ts(2), None, "q3")],
+            "doc_id long, ts timestamp, content_hash long, text string")
+        docs.coalesce(1).write.parquet(f"{src}/a")
+        for i, f in enumerate(glob.glob(f"{src}/a/part-*.parquet")):
+            shutil.copy(f, os.path.join(src, f"{i}.parquet"))
+        got = run_dedup_stream(
+            spark, src, out, watermark="100000 hours"
+        ).toPandas()
+        assert (got.content_hash == 10).sum() == 1  # real dups still gate
+        assert sorted(got[got.content_hash.isna()].doc_id) == [3, 4, 5]
+
+        # drift gate: an exact redelivery gates; NULL phash / NULL tile
+        # rows all survive
+        imgs = spark.createDataFrame(
+            [("a1", ts(0), "T01", 5), ("a2", ts(1), "T01", 5),
+             ("n1", ts(0), "T01", None), ("n2", ts(1), "T01", None),
+             ("m1", ts(0), None, 7), ("m2", ts(1), None, 7)],
+            IMAGES_SCHEMA)
+        imgs.coalesce(1).write.parquet(f"{src2}/a")
+        for i, f in enumerate(glob.glob(f"{src2}/a/part-*.parquet")):
+            shutil.copy(f, os.path.join(src2, f"{i}.parquet"))
+        got2 = run_image_driftdedup_stream(
+            spark, src2, out2, max_hamming=2, horizon_sec=10**9
+        ).toPandas()
+        assert set(got2.image_id) == {"a1", "n1", "n2", "m1", "m2"}
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(src2, ignore_errors=True)
+        shutil.rmtree(out2, ignore_errors=True)
