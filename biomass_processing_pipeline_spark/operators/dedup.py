@@ -177,7 +177,15 @@ def _minhash_band_udf(n_hashes: int, bands: int, seed: int = 42):
 
 
 def with_shingles(df: DataFrame, text_col: str, k: int = 5) -> DataFrame:
-    return df.withColumn("shingles", _shingle_udf(k)(F.col(text_col)))
+    """Adds sorted-unique shingle hashes AND drops NULL-text rows: NULL
+    is unknown content, not empty content — shingled as "" every
+    quarantined/unfetched doc would share one shingle set and pair as a
+    jaccard-1.0 near-dup of every other NULL doc (and of genuinely empty
+    docs). Unknown content pairs with nothing. A real empty string keeps
+    its whole-string-hash shingle: empty == empty IS identical content."""
+    return df.where(F.col(text_col).isNotNull()).withColumn(
+        "shingles", _shingle_udf(k)(F.col(text_col))
+    )
 
 
 def minhash_lsh_pairs(
@@ -519,8 +527,13 @@ def simhash_pairs(
     """-> (id_a, id_b, hamming) pairs with Hamming(simhash) <= max_hamming.
 
     Complete for max_hamming <= 3 by pigeonhole over 4 16-bit blocks.
+    NULL-text rows are dropped (unknown content pairs with nothing —
+    hashed as "" they would all share sig 0 and pair with each other);
+    a real empty string keeps sig 0: empty == empty is identical content.
     """
-    sig = df.select(id_col, _simhash_udf()(F.col(text_col)).alias("sig"))
+    sig = df.where(F.col(text_col).isNotNull()).select(
+        id_col, _simhash_udf()(F.col(text_col)).alias("sig")
+    )
     return hamming_sig_pairs(sig, id_col, "sig", max_hamming)
 
 

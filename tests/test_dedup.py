@@ -714,3 +714,32 @@ def test_exact_dedup_null_content_rows_keep_themselves(spark):
     assert got.loc[1, "n_copies"] == 2
     assert (got.loc[[3, 4], "n_copies"] == 1).all()
     assert got.loc[5, "n_copies"] == 1
+
+
+def test_null_text_docs_never_pair_but_empty_docs_do(spark):
+    """NULL text is unknown content: shingled as '' every quarantined doc
+    would pair as a jaccard-1.0 dup of every other NULL doc and of
+    genuinely empty docs. NULL-text rows must produce NO pairs in any
+    text near-dup generator; two REAL empty strings are identical
+    content and must still pair."""
+    rows = [(0, BASE), (1, BASE), (2, None), (3, None), (4, ""), (5, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    mh = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).toPandas()
+    mp = set(zip(mh.id_a, mh.id_b))
+    assert (0, 1) in mp and (4, 5) in mp
+    assert not any(2 in p or 3 in p for p in mp)
+
+    sp = simhash_pairs(docs, "text", "doc_id", max_hamming=0).toPandas()
+    ss = set(zip(sp.id_a, sp.id_b))
+    assert (0, 1) in ss and (4, 5) in ss
+    assert not any(2 in p or 3 in p for p in ss)
+
+    ng = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).toPandas()
+    np_ = set(zip(ng.id_a, ng.id_b))
+    assert (0, 1) in np_ and (4, 5) in np_
+    assert not any(2 in p or 3 in p for p in np_)
+
+    tk = jaccard_topk(docs, "text", "doc_id", k=2, query_mod=2).toPandas()
+    assert 2 not in set(tk.query_id) and 2 not in set(tk.target_id)
+    assert 3 not in set(tk.target_id)
