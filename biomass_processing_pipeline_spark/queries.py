@@ -774,7 +774,10 @@ def q_dedup_exact(spark, sf_dir):
 
 SQL_DEDUP_EXACT = """
   SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-  FROM documents GROUP BY md5(text)
+  FROM documents WHERE text IS NOT NULL GROUP BY md5(text)
+  UNION ALL
+  SELECT doc_id AS keep_id, 1 AS n_copies
+  FROM documents WHERE text IS NULL
 """
 
 
