@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from biomass_processing_pipeline_spark.operators.knn import nan_attrs_as_null
+
 
 def forest_threshold_filter(
     df: DataFrame,
@@ -41,12 +43,14 @@ def weighted_mode(
     """A6 weighted mode: per point, the target category with the largest
     summed weight; ties by smaller category value (deterministic). NULL
     categories are excluded from the vote (a neighbor with an unknown type
-    cannot nominate a winner); a point whose neighbors are ALL NULL-typed
-    yields no row — the fused caller left-joins so such points keep a
-    NULL mode."""
-    j = knn.join(targets.select(target_key, type_col), target_key).where(
-        F.col(type_col).isNotNull()
-    )
+    cannot nominate a winner) — and a stored NaN in a float category is
+    the same unknown (``nan_attrs_as_null``); a point whose neighbors are
+    ALL NULL-typed yields no row — the fused caller left-joins so such
+    points keep a NULL mode."""
+    j = knn.join(
+        targets.select(target_key, *nan_attrs_as_null(targets, [type_col])),
+        target_key,
+    ).where(F.col(type_col).isNotNull())
     wcol = 1.0 / (F.col("distance") + F.lit(eps))
     per_type = j.groupBy(point_key, type_col).agg(F.sum(wcol).alias("w"))
     w = Window.partitionBy(point_key).orderBy(F.desc("w"), F.asc(type_col))
@@ -63,8 +67,12 @@ def weighted_stand_age(
     point_key: str = "image_id", target_key: str = "plot_cn",
     eps: float = 0.01,
 ) -> DataFrame:
-    """A6 weighted average age: sum(w*age)/sum(w), rounded."""
-    j = knn.join(targets.select(target_key, age_col), target_key)
+    """A6 weighted average age: sum(w*age)/sum(w), rounded. Stored-NaN
+    ages quarantine to NULL (drop from the numerator, never poison)."""
+    j = knn.join(
+        targets.select(target_key, *nan_attrs_as_null(targets, [age_col])),
+        target_key,
+    )
     wcol = 1.0 / (F.col("distance") + F.lit(eps))
     return j.groupBy(point_key).agg(
         F.round(F.sum(wcol * F.col(age_col)) / F.sum(wcol), 6).alias("stand_age")
@@ -77,8 +85,12 @@ def harvest_probability(
     eps: float = 0.01, ownership_bonus: float = 0.1, cap: float = 0.95,
 ) -> DataFrame:
     """A6 capped weighted probability: weighted mean of a per-plot
-    probability plus a flat bonus, capped (forest_analyzer_v3.py:682-726)."""
-    j = knn.join(targets.select(target_key, prob_col), target_key)
+    probability plus a flat bonus, capped (forest_analyzer_v3.py:682-726).
+    Stored-NaN probabilities quarantine to NULL (never poison the mean)."""
+    j = knn.join(
+        targets.select(target_key, *nan_attrs_as_null(targets, [prob_col])),
+        target_key,
+    )
     wcol = 1.0 / (F.col("distance") + F.lit(eps))
     base = F.sum(wcol * F.col(prob_col)) / F.sum(wcol)
     return j.groupBy(point_key).agg(

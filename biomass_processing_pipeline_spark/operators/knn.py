@@ -58,6 +58,28 @@ def distance_deg(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Colu
     return F.sqrt(dx * dx + dy * dy)
 
 
+def nan_attrs_as_null(df: DataFrame, cols: list[str]) -> list[Column]:
+    """Select-list wrapper normalizing stored NaN in float columns to SQL
+    NULL (non-float columns pass through — they cannot hold NaN).
+
+    Why: the ONE RULE for unknown neighbor attributes is "drops from the
+    numerator, never poisons" (ARCHITECTURE.md cross-plan semantics). The
+    local-index kernel enforces it with an ``~np.isnan`` mask — which
+    cannot tell a stored NaN from SQL NULL, so both quarantine. The
+    distributed plans' ``F.sum`` skips NULL but PROPAGATES NaN: without
+    this wrap, one NaN-valued attr row would poison a point's weighted
+    mean (and a NaN category could win a mode vote) in the fallback plans
+    only, making the answer depend on which physical plan ran."""
+    out: list[Column] = []
+    for c in cols:
+        t = df.schema[c].dataType
+        if isinstance(t, (T.DoubleType, T.FloatType)):
+            out.append(F.nanvl(F.col(c), F.lit(None).cast(t)).alias(c))
+        else:
+            out.append(F.col(c))
+    return out
+
+
 def _valid_coords(df: DataFrame) -> DataFrame:
     """Drop rows with NULL/NaN coordinates before any kNN plan sees them.
 
@@ -764,8 +786,12 @@ def knn_weighted_agg_fused(
     # broadcast, the groupBy partial-combines map-side before ONE small
     # shuffle of ~points rows
     extra = [mode_attr] if mode_attr else []
+    # nan_attrs_as_null: a stored NaN attr/category is UNKNOWN — same
+    # quarantine as NULL, matching the local kernel's isnan mask
     topk = topk.join(
-        F.broadcast(targets.select(target_key, *attrs, *extra)), target_key
+        F.broadcast(targets.select(
+            target_key, *nan_attrs_as_null(targets, [*attrs, *extra])
+        )), target_key
     )
     wcol = 1.0 / (F.col("distance") + F.lit(eps))
     if mode_attr is None:
@@ -866,8 +892,13 @@ def distance_weighted_agg(
 ) -> DataFrame:
     """A5: per point, weighted mean of target attrs, weight 1/(dist+eps)
     (reference ``forest_analyzer_v3.py:185-248``). Plain relational aggs —
-    partial/final map-side combine for free."""
-    j = knn.join(targets.select(target_key, *attrs), target_key)
+    partial/final map-side combine for free. Stored-NaN attrs quarantine
+    to NULL first (``nan_attrs_as_null``) so F.sum's NULL-skip applies the
+    same unknown-drops-from-the-numerator rule as the local kernel."""
+    j = knn.join(
+        targets.select(target_key, *nan_attrs_as_null(targets, attrs)),
+        target_key,
+    )
     wcol = 1.0 / (F.col("distance") + F.lit(eps))
     aggs = [F.sum(wcol).alias("sum_w"), F.count("*").alias("n_neighbors")]
     for a in attrs:

@@ -115,3 +115,55 @@ def test_fused_null_attr_and_cat_parity(spark, smoke_dir):
     assert (local.mode_ftype[mm] == dist.mode_ftype[mm]).all()
     # NULL never wins: every non-null mode is an even plot_cn's category
     assert set(local.mode_ftype[mm].unique()) <= {0.0, 1.0, 2.0, 3.0}
+
+
+def test_fused_nan_attr_parity(spark, smoke_dir):
+    """A stored NaN attr/category is the SAME unknown as SQL NULL, in
+    every plan: the local-index kernel's isnan mask cannot distinguish
+    them, and the distributed plans normalize NaN -> NULL before F.sum
+    (which skips NULL but would PROPAGATE NaN) and before the mode vote.
+    Mixed top-k (some NaN, some valid neighbors) is the discriminating
+    case: the unknown drops from the numerator while its weight stays in
+    the denominator, so both plans must return the same FINITE mean —
+    an unfixed fallback plan would return NaN there."""
+    fp = with_footprint(
+        load_images(spark, smoke_dir).select("image_id")
+    ).limit(120)
+    nan = F.lit(float("nan"))
+    plots = (
+        spark.read.parquet(f"{smoke_dir}/plots.parquet")
+        # 1/5 of attrs NaN, 1/7 NULL, rest real -> most points see a
+        # mixed top-10; float category NaN on 1/3 of plots
+        .withColumn("attr_1", F.when(F.col("plot_cn") % 5 == 0, nan)
+                    .when(F.col("plot_cn") % 7 == 0, F.lit(None))
+                    .otherwise(F.col("attr_1")))
+        .withColumn("ftype", F.when(F.col("plot_cn") % 3 == 0, nan)
+                    .otherwise((F.col("plot_cn") % 4).cast("double")))
+    )
+    kw = dict(attrs=["attr_1"], k=10, mode_attr="ftype")
+    local = knn_weighted_agg_fused(fp, plots, **kw).toPandas() \
+        .set_index("image_id").sort_index()
+    dist = knn_weighted_agg_fused(
+        fp, plots, local_index_threshold=0, **kw
+    ).toPandas().set_index("image_id").sort_index()
+    assert len(local) == len(dist) == 120
+    assert (local.n_neighbors == dist.n_neighbors).all()
+    assert np.allclose(local.sum_w, dist.sum_w, rtol=1e-12)
+    # the discriminator: points with >=1 valid neighbor attr must be
+    # FINITE in both plans (NaN propagation would make dist NaN == isna)
+    assert (local.w_attr_1.isna() == dist.w_attr_1.isna()).all()
+    m = ~local.w_attr_1.isna()
+    assert m.any(), "fixture should produce points with valid neighbors"
+    assert np.isfinite(dist.w_attr_1[m]).all()
+    assert np.allclose(local.w_attr_1[m], dist.w_attr_1[m], rtol=1e-12)
+    # NaN categories never win the vote, in either plan
+    assert (local.mode_ftype.isna() == dist.mode_ftype.isna()).all()
+    mm = ~local.mode_ftype.isna()
+    assert (local.mode_ftype[mm] == dist.mode_ftype[mm]).all()
+    assert not np.isnan(local.mode_ftype[mm].to_numpy(float)).any()
+    # the standalone A5/A6 relational ops apply the same rule
+    knn10 = knn_join(fp, plots, k=10)
+    dw = distance_weighted_agg(knn10, plots, ["attr_1"]).toPandas() \
+        .set_index("image_id").sort_index()
+    assert (dw.w_attr_1.isna() == local.w_attr_1.isna()).all()
+    assert np.allclose(dw.w_attr_1[m], local.w_attr_1[m], rtol=1e-12)
