@@ -105,6 +105,13 @@ def fingerprint_udf(window: int = 8, n_min: int = 8):
     docs share (w.h.p.) none. Single-value min collides too often on
     small-vocabulary corpora and k-combined values break shift
     robustness — the set is the right signature.
+
+    NULL text is UNKNOWN content (the dedup-wide rule): it gets a NULL
+    fingerprint — ``explode`` consumers emit zero rows for it, and it can
+    never sketch-overlap anything — instead of silently sharing the
+    empty-string sketch with genuinely empty docs and every other
+    quarantined doc. A real empty string keeps its whole-string hash:
+    empty == empty is identical content.
     """
 
     @pandas_udf(T.ArrayType(T.LongType()))
@@ -114,7 +121,10 @@ def fingerprint_udf(window: int = 8, n_min: int = 8):
         out = []
         with np.errstate(over="ignore"):
             for t in text:
-                b = np.frombuffer((t or "").encode(), dtype=np.uint8).astype(np.uint64)
+                if pd.isna(t):  # Arrow may hand NULL as None or NaN
+                    out.append(None)
+                    continue
+                b = np.frombuffer(t.encode(), dtype=np.uint8).astype(np.uint64)
                 if len(b) < window:
                     h = np.uint64(0)
                     for x in b:

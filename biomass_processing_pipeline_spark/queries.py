@@ -1048,19 +1048,34 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 3
 # hashes with the SAME uint64 product wrap the numpy path has
 # ((byte * 257^(7-j)) mod 2^64) mod (2^61-1), then the 8 smallest distinct.
 # HUGEINT arithmetic + correlated list comprehensions make it closed-form.
+# Contract edges encoded even though the fixture has neither: a doc
+# SHORTER than the window keeps the engine's whole-string sequential
+# hash (list_reduce fold, same per-step 2^64 wrap then mod — verified
+# value-identical incl. the empty string's [0]); NULL text has a NULL
+# fingerprint (unknown content sketches nothing — length(NULL) nulls the
+# comprehension and unnest(NULL) emits zero rows, matching explode).
 SQL_DOC_FINGERPRINT = """
   SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp_hash FROM (
     SELECT doc_id,
-      list_sort(list_distinct([
-        CAST(list_sum([
-          (unicode(text[i + j])::HUGEINT
-           * ([74051159531521793, 288136807515649, 1121154893057,
-               4362470401, 16974593, 66049, 257, 1])[j + 1])
-          % 18446744073709551616::HUGEINT
-          for j in range(0, 8)
-        ]) % 2305843009213693951 AS BIGINT)
-        for i in range(1, length(text) - 6)
-      ]))[1:8] AS fps
+      CASE WHEN length(text) < 8 THEN
+        [CAST(list_reduce(
+          list_prepend(0::HUGEINT,
+            [unicode(text[i])::HUGEINT for i in range(1, length(text) + 1)]),
+          (h, x) -> ((h * 257 + x) % 18446744073709551616::HUGEINT)
+                    % 2305843009213693951
+        ) AS BIGINT)]
+      ELSE
+        list_sort(list_distinct([
+          CAST(list_sum([
+            (unicode(text[i + j])::HUGEINT
+             * ([74051159531521793, 288136807515649, 1121154893057,
+                 4362470401, 16974593, 66049, 257, 1])[j + 1])
+            % 18446744073709551616::HUGEINT
+            for j in range(0, 8)
+          ]) % 2305843009213693951 AS BIGINT)
+          for i in range(1, length(text) - 6)
+        ]))[1:8]
+      END AS fps
     FROM documents)
 """
 

@@ -57,3 +57,35 @@ def test_doc_stats_on_driver_table(spark):
     assert (out.n_tokens > 0).all()
     distinct_fps = {tuple(fp) for fp in out.fingerprint}
     assert len(distinct_fps) > len(out) * 0.9
+
+
+def test_fingerprint_edge_docs_match_oracle(spark):
+    """Contract edges the sf fixtures never exercise, pinned engine ==
+    DuckDB twin: (a) docs SHORTER than the 8-byte window keep the
+    whole-string sequential hash (incl. the empty string's [0]); (b) NULL
+    text is unknown content — NULL fingerprint, ZERO exploded rows (it
+    sketches nothing, and must not share the empty-string sketch with
+    genuinely empty docs); (c) a normal doc sanity-anchors the join."""
+    import duckdb
+
+    from biomass_processing_pipeline_spark.queries import SQL_DOC_FINGERPRINT
+
+    rows = [(1, ""), (2, "a"), (3, "1234567"), (4, None),
+            (5, "a much longer document with plenty of windows in it")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        df.select("doc_id",
+                  F.explode(fingerprint_udf()(F.col("text"))).alias("fp_hash"))
+        .toPandas().sort_values(["doc_id", "fp_hash"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    exp = (
+        con.execute(SQL_DOC_FINGERPRINT).df()
+        .sort_values(["doc_id", "fp_hash"]).reset_index(drop=True)
+    )
+    assert got.doc_id.tolist() == exp.doc_id.tolist()
+    assert got.fp_hash.tolist() == exp.fp_hash.tolist()
+    # NULL doc emits nothing; empty doc emits exactly [0]
+    assert 4 not in set(got.doc_id)
+    assert got[got.doc_id == 1].fp_hash.tolist() == [0]
