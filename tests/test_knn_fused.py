@@ -167,3 +167,25 @@ def test_fused_nan_attr_parity(spark, smoke_dir):
         .set_index("image_id").sort_index()
     assert (dw.w_attr_1.isna() == local.w_attr_1.isna()).all()
     assert np.allclose(dw.w_attr_1[m], local.w_attr_1[m], rtol=1e-12)
+
+
+def test_nan_attrs_as_null_dtypes(spark):
+    """The NaN->NULL select wrapper: float32 and double NaN become SQL
+    NULL (real values untouched), non-float columns pass through
+    unchanged (they cannot hold NaN)."""
+    from biomass_processing_pipeline_spark.operators.knn import (
+        nan_attrs_as_null,
+    )
+
+    df = spark.createDataFrame(
+        [(1, float("nan"), float("nan"), 7), (2, 1.5, 2.5, 8)],
+        "id long, d double, f float, i int",
+    ).withColumn("f", F.col("f").cast("float"))
+    out = df.select("id", *nan_attrs_as_null(df, ["d", "f", "i"])) \
+        .toPandas().set_index("id").sort_index()
+    assert out.loc[1].isna().d and out.loc[1].isna().f
+    assert out.loc[2].d == 1.5 and out.loc[2].f == 2.5
+    assert out.i.tolist() == [7, 8]
+    # schema preserved: float stays float, int stays int
+    typed = dict(df.select(*nan_attrs_as_null(df, ["d", "f", "i"])).dtypes)
+    assert typed == {"d": "double", "f": "float", "i": "int"}
