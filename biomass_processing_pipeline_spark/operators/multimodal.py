@@ -99,9 +99,11 @@ def video_frame_sample(
             rows = []
             for t in pdf.itertuples(index=False):
                 # frame-less / NULL-metadata / NULL-blob video: nothing to
-                # sample (Arrow hands NULL ints as NaN/NA, whose <= is
-                # False or raises — normalize first)
-                n_frames = t.n_frames if isinstance(t.n_frames, (int, np.integer)) else 0
+                # sample. One NULL in the batch makes Arrow hand the WHOLE
+                # int column over as float64, so valid rows arrive as
+                # np.float64 too — gate on NA-ness, not int-ness, or every
+                # sibling of a NULL row silently drops
+                n_frames = 0 if pd.isna(t.n_frames) else int(t.n_frames)
                 if n_frames <= 0 or t.bytes is None:
                     continue
                 frame_len = len(t.bytes) // n_frames

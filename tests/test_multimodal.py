@@ -97,6 +97,16 @@ def test_corrupt_image_and_frame_quarantined(spark):
     for vid_id in ("v0", "vnull_n", "vnull_b"):  # nothing to sample: no rows
         assert vid_id not in top
 
+    # Same rows in ONE Arrow batch: a single NULL n_frames coerces the
+    # whole int column to float64, so valid siblings arrive as np.float64
+    # (2.0, not 2) — they must still sample, not silently drop
+    vf1 = (video_frame_sample(videos.coalesce(1), every_k=1).toPandas()
+           .set_index(["video_id", "frame_idx"]).sort_index())
+    assert ("v1", 0) in vf1.index and ("v1", 1) in vf1.index
+    assert np.isfinite(vf1.loc[("v1", 0), "mean_lum"])
+    for vid_id in ("v0", "vnull_n", "vnull_b"):
+        assert vid_id not in vf1.index.get_level_values(0)
+
 
 def test_corrupt_audio_quarantined_stub_stays_loud(spark):
     """A decoder failure on one blob yields a NULL-feature row; the
