@@ -397,6 +397,10 @@ def cosine_refine_topk(
     scored = (
         cand_ids.join(q, "q_id").join(t, "t_id")
         .withColumn("cosine", F.round(_cosine_col("q_vec", "t_vec"), 6))
+        # a zero-norm/poisoned vector scores NULL (_cosine_col contract):
+        # it must never hold a top-k slot — same exclusion brute_force_topk
+        # applies, so LSH/IVF and brute force agree on such inputs
+        .where(F.col("cosine").isNotNull())
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("t_id"))
     return (

@@ -1406,7 +1406,10 @@ SQL_SIM_BRUTEFORCE = """
   SELECT query_id, target_id, cosine, CAST(rnk AS INT) AS rank FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                  ORDER BY cosine DESC, target_id) AS rnk
-    FROM scored) WHERE rnk <= 5
+    -- zero-norm vectors score NULL/NaN and never hold a top-k slot (the
+    -- engine applies the same exclusion in brute force AND the ANN refine)
+    FROM scored WHERE cosine IS NOT NULL AND NOT isnan(cosine)
+    ) WHERE rnk <= 5
 """
 
 
@@ -1906,7 +1909,10 @@ def _sql_ann_refine(cand_parquet: str) -> str:
   SELECT query_id, target_id, cosine, CAST(rnk AS INT) AS rank FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                  ORDER BY cosine DESC, target_id) AS rnk
-    FROM scored) WHERE rnk <= 5
+    -- zero-norm vectors score NULL/NaN and never hold a top-k slot (the
+    -- engine applies the same exclusion in brute force AND the ANN refine)
+    FROM scored WHERE cosine IS NOT NULL AND NOT isnan(cosine)
+    ) WHERE rnk <= 5
 """
 
 

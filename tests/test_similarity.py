@@ -412,3 +412,38 @@ def test_ivf_and_lsh_quarantine_poisoned_vectors(spark):
     want_lsh = norm(lsh_topk(clean, q_clean, k=3, n_bits=6, n_tables=4,
                              dim=16).toPandas())
     pd.testing.assert_frame_equal(got_lsh, want_lsh)
+
+
+def test_zero_norm_vector_never_holds_ann_topk_slot(spark):
+    """An all-zero embedding is FINITE, so it passes the training/assign
+    quarantine, gets real LSH buckets and a real IVF list — and reaches
+    the shared exact-cosine refine, where its cosine is NULL (0/0 via
+    try_divide). The refine must exclude it (brute_force_topk already
+    does), otherwise a dead-feature vector occupies top-k slots with
+    cosine=NULL in the ANN plans only — plan-dependent results."""
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.standard_normal(16).astype(np.float32).tolist())
+            for i in range(40)]
+    schema = "vec_id long, embedding array<float>"
+    corpus = spark.createDataFrame(
+        rows + [(200, [0.0] * 16)], schema)
+    queries = corpus.where(F.col("vec_id").isin([0, 200]))
+
+    # k > defined-cosine candidates in a bucket is the dangerous regime:
+    # row_number would hand the NULL row a rank without the filter
+    got_lsh = lsh_topk(corpus, queries, k=39, n_bits=4, n_tables=4,
+                       dim=16).toPandas()
+    assert 200 not in set(got_lsh.target_id)      # never a neighbor
+    assert set(got_lsh.query_id.unique()) <= {0}  # zero-norm query: 0 rows
+    assert got_lsh.cosine.notna().all()
+
+    cent = train_centroids(corpus, n_centroids=2, iters=2, dim=16)
+    got_ivf = ivf_topk(corpus, queries, cent, k=39, n_probe=2).toPandas()
+    assert 200 not in set(got_ivf.target_id)
+    assert set(got_ivf.query_id.unique()) <= {0}
+    assert got_ivf.cosine.notna().all()
+
+    # agreement with brute force on the same input
+    bf = brute_force_topk(corpus, queries, k=39).toPandas()
+    assert 200 not in set(bf.target_id)
+    assert set(bf.query_id.unique()) <= {0}
