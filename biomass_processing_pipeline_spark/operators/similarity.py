@@ -135,14 +135,17 @@ def _spark_round6(a: np.ndarray) -> np.ndarray:
 def _topk_matmul_broadcast(q: DataFrame, t: DataFrame, k: int) -> DataFrame:
     """Map-only exact top-k: targets as a broadcast (N, dim) float64 matrix,
     one BLAS matmul per query chunk, local (rounded-cosine desc, id asc)
-    selection. Bit-identical rows to the crossJoin window plan: the HOF
-    path casts each float32 element to double before multiplying, exactly
-    as the packed matrix does; selection first takes a raw-score top-k
-    with a 1.1e-6 safety band (rounding moves a double by <= 5e-7, so no
-    row outside the band can enter the rounded top-k), then re-ranks the
-    band on the EXACTLY-Spark-rounded cosine (:func:`_spark_round6`) with
-    id tiebreak — so summation-order ulps and numpy-vs-Spark rounding
-    conventions cannot produce a row the window plan would not."""
+    selection. Bit-identical rows to the crossJoin window plan: the BLAS
+    scores only SELECT a candidate band — raw top-k plus a 1.1e-6 safety
+    margin (6-dec rounding moves a double by <= 5e-7 and fold-vs-BLAS
+    summation order by ~1 ulp, so no row outside the band can enter the
+    rounded top-k) — and the band is then RE-SCORED with the HOF fold's
+    exact arithmetic: per-element double products summed strictly left to
+    right (``np.cumsum`` is a sequential scan, bit-identical to
+    ``aggregate(..., acc + x)``), divided by ``sqrt(na * nb)`` in that
+    exact expression shape, then :func:`_spark_round6` + id tiebreak. A
+    blocked-BLAS dot that lands 1 ulp across a HALF_UP half-boundary
+    therefore cannot flip the emitted 6th decimal vs the window plan."""
     t_pdf = t.toPandas()
     ids = t_pdf["target_id"].to_numpy()
     mat = (
@@ -150,9 +153,16 @@ def _topk_matmul_broadcast(q: DataFrame, t: DataFrame, k: int) -> DataFrame:
         if len(t_pdf) else np.empty((0, 0), np.float64)
     )
     t_norm = np.sqrt((mat * mat).sum(axis=1))
+    # sequential-fold sum of squares per target (the HOF nb), for the
+    # band re-score — cumsum's last column IS the left-to-right fold
+    t_n2_seq = (
+        np.cumsum(mat * mat, axis=1)[:, -1]
+        if mat.shape[1] else np.zeros(len(ids))
+    )
     id_pos = {v: i for i, v in enumerate(ids)}
     bc = q.sparkSession.sparkContext.broadcast(
-        {"ids": ids, "mat": mat, "t_norm": t_norm, "id_pos": id_pos}
+        {"ids": ids, "mat": mat, "t_norm": t_norm, "t_n2_seq": t_n2_seq,
+         "id_pos": id_pos}
     )
     out_schema = T.StructType([
         T.StructField("query_id", q.schema["query_id"].dataType),
@@ -163,8 +173,8 @@ def _topk_matmul_broadcast(q: DataFrame, t: DataFrame, k: int) -> DataFrame:
 
     def gen(batches):
         d = bc.value
-        ids, mat, t_norm, id_pos = (
-            d["ids"], d["mat"], d["t_norm"], d["id_pos"],
+        ids, mat, t_norm, t_n2_seq, id_pos = (
+            d["ids"], d["mat"], d["t_norm"], d["t_n2_seq"], d["id_pos"],
         )
         n_t = len(ids)
         # bound the B x N score block to ~32 MB whatever the target count
@@ -217,7 +227,22 @@ def _topk_matmul_broadcast(q: DataFrame, t: DataFrame, k: int) -> DataFrame:
                     else:
                         cand = np.arange(n_t)
                     cand = cand[row[cand] > -np.inf]
-                    r6 = _spark_round6(row[cand])
+                    if cand.size:
+                        # exact re-score of the band with the HOF fold's
+                        # arithmetic: sequential-order dot and norms,
+                        # dot / sqrt(na * nb) in that expression shape
+                        # + 0.0: the fold starts at literal 0.0, so its
+                        # zero is always +0.0; cumsum's can be -0.0
+                        prod = qm[i][None, :] * mat[cand]
+                        dots = np.cumsum(prod, axis=1)[:, -1] + 0.0
+                        q_n2 = np.cumsum(qm[i] * qm[i])[-1]
+                        with np.errstate(divide="ignore", invalid="ignore"):
+                            exact = dots / np.sqrt(q_n2 * t_n2_seq[cand])
+                        keep = np.isfinite(exact)
+                        cand, exact = cand[keep], exact[keep]
+                    else:
+                        exact = row[cand]
+                    r6 = _spark_round6(exact)
                     sortp = np.lexsort((ids[cand], -r6))[:kk]
                     order = cand[sortp]
                     m = len(order)
