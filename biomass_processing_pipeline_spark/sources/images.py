@@ -32,23 +32,22 @@ def load_images(spark: SparkSession, fixture_dir: str) -> DataFrame:
 
 
 @pandas_udf(_POS_TYPE)
-def _offset_udf(tx: pd.Series, ty: pd.Series, seq: pd.Series) -> pd.DataFrame:
-    # malformed image_id -> NULL tx/ty/seq (try_cast upstream), which
-    # Arrow hands us as NaN: mask those rows to NULL lon/lat instead of
-    # hashing garbage. NULL (not NaN) matters — ANSI would raise casting
-    # NaN inside the downstream Morton cell expression.
-    txv = tx.to_numpy(np.float64, na_value=np.nan)
-    tyv = ty.to_numpy(np.float64, na_value=np.nan)
-    sv = seq.to_numpy(np.float64, na_value=np.nan)
-    bad = np.isnan(txv) | np.isnan(tyv) | np.isnan(sv)
+def _offset_udf(tx: pd.Series, ty: pd.Series, seq: pd.Series,
+                bad: pd.Series) -> pd.DataFrame:
+    # malformed image_id rows arrive pre-flagged in ``bad`` with their
+    # int columns coalesced to 0 (with_footprint): if NULLs reached this
+    # UDF directly, Arrow would hand the WHOLE int64 column over as
+    # float64 and any seq above 2^53 would be silently perturbed before
+    # hashing — the coalesce keeps the column int64-exact end to end.
+    # Flagged rows mask to NULL lon/lat (not NaN: ANSI would raise
+    # casting NaN inside the downstream Morton cell expression).
+    badv = bad.to_numpy(bool)
     lon, lat = tile_offset_np(
-        np.nan_to_num(txv).astype(np.int64),
-        np.nan_to_num(tyv).astype(np.int64),
-        np.nan_to_num(sv).astype(np.int64),
+        tx.to_numpy(np.int64), ty.to_numpy(np.int64), seq.to_numpy(np.int64),
     )
     return pd.DataFrame({
-        "lon": pd.array(np.where(bad, np.nan, lon), dtype="Float64"),
-        "lat": pd.array(np.where(bad, np.nan, lat), dtype="Float64"),
+        "lon": pd.array(np.where(badv, np.nan, lon), dtype="Float64"),
+        "lat": pd.array(np.where(badv, np.nan, lat), dtype="Float64"),
     })
 
 
@@ -80,7 +79,13 @@ def with_footprint(images: DataFrame, level: int = cells.DEFAULT_LEVEL) -> DataF
         .withColumn("band", F.regexp_extract("image_id", r"_(B\d\d)_", 1))
         .withColumn("seq", F.element_at(
             F.split("image_id", "_"), -1).try_cast("long"))
-        .withColumn("_pos", _offset_udf(F.col("tx"), F.col("ty"), F.col("seq")))
+        .withColumn("_pos", _offset_udf(
+            F.coalesce("tx", F.lit(0)),
+            F.coalesce("ty", F.lit(0)),
+            F.coalesce("seq", F.lit(0).cast("long")),
+            F.col("tx").isNull() | F.col("ty").isNull()
+            | F.col("seq").isNull(),
+        ))
         .withColumn("lon", F.col("_pos.lon"))
         .withColumn("lat", F.col("_pos.lat"))
         .drop("_pos")

@@ -71,3 +71,32 @@ def test_malformed_image_id_quarantines_to_null_footprint(spark):
         row = got.loc[bad]
         assert pd.isna(row.seq) and pd.isna(row.lon) and pd.isna(row.lat)
         assert pd.isna(row.cell_id)
+
+
+def test_huge_seq_hashes_int64_exact(spark):
+    """A seq above 2^53 must hash exactly: the offset UDF used to route
+    tx/ty/seq through a float64 hop (NULL-masking via NaN), so
+    9007199254740993 silently became ...992 before splitmix64 — a wrong
+    lon/lat with no error. The coalesce+flag protocol keeps the Arrow
+    column int64 end to end, even in a batch that ALSO carries a
+    malformed (NULL-seq) row — one NULL used to coerce the whole column
+    to float64 for every sibling."""
+    import pandas as pd
+
+    from biomass_processing_pipeline_spark.sources.images import with_footprint
+    from biomass_processing_pipeline_spark.synth import tile_offset_np
+
+    big = 9007199254740993  # 2^53 + 1: not representable in float64
+    ids = spark.createDataFrame(
+        [(f"T34_B02_20200101_{big}",), ("not-a-valid-id",)],
+        "image_id string").coalesce(1)
+    # collect(), not toPandas(): pandas itself would float64-coerce the
+    # NULL-bearing seq column and mask exactly the bug under test
+    got = {r.image_id: r for r in with_footprint(ids).collect()}
+    row = got[f"T34_B02_20200101_{big}"]
+    assert row.seq == big
+    want_lon, want_lat = tile_offset_np(
+        np.array([3], dtype=np.int64), np.array([4], dtype=np.int64),
+        np.array([big], dtype=np.int64))
+    assert row.lon == want_lon[0] and row.lat == want_lat[0]
+    assert got["not-a-valid-id"].lon is None
