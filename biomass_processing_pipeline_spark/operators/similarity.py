@@ -89,17 +89,23 @@ def brute_force_topk(
     )
     t = emb.select(F.col(id_col).alias("target_id"), F.col(vec_col).alias("t_vec"))
     if broadcast_elems > 0:
-        n_t, dim, dim_min, n_null = emb.agg(
-            F.count("*"), F.max(F.size(vec_col)), F.min(F.size(vec_col)),
-            F.sum(F.when(F.col(vec_col).isNull(), 1).otherwise(0)),
-        ).head() or (0, 0, 0, 0)
-        # the packed matrix needs a rectangular, non-NULL target side;
-        # NULL or ragged rows route to the crossJoin plan, whose NULL
-        # cosine quarantines them row-by-row instead of killing the job
+        n_t, dim, dim_min = emb.agg(
+            F.count(vec_col), F.max(F.size(vec_col)), F.min(F.size(vec_col)),
+        ).head() or (0, 0, 0)
+        # the packed matrix needs a rectangular target side. NULL targets
+        # are semantics-free to drop (a NULL vector has a defined cosine
+        # with nothing, in either plan) — filter them off the packed side
+        # rather than forfeiting the map-only plan for the whole corpus
+        # because one upstream-quarantined row exists. RAGGED corpora
+        # (dim_min != dim among non-NULL rows) still route to the
+        # crossJoin plan: two equal-length off-dim vectors DO have a
+        # defined cosine there, which a modal-dim filter would lose.
         if (n_t or 0) and n_t * (dim or 0) <= broadcast_elems and (
             n_t <= broadcast_rows
-        ) and not (n_null or 0) and (dim_min or 0) == (dim or 0):
-            return _topk_matmul_broadcast(q, t, k)
+        ) and (dim_min or 0) == (dim or 0):
+            return _topk_matmul_broadcast(
+                q, t.where(F.col("t_vec").isNotNull()), k
+            )
     j = (
         q.crossJoin(t)
         .where(F.col("query_id") != F.col("target_id"))

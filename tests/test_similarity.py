@@ -275,9 +275,12 @@ def test_spark_round6_matches_spark_round_bitexact(spark):
 def test_brute_force_quarantines_null_and_ragged_vectors(spark):
     """A NULL or wrong-length embedding row must QUARANTINE (drop from
     every ranking), never kill the job — in both plans, on both sides.
-    Dirty targets route the gate to the crossJoin plan; dirty queries
-    reaching the matmul kernel are skipped row-wise (zero output rows for
-    that query, exactly the fallback's NULL-cosine result)."""
+    RAGGED targets route the gate to the crossJoin plan (two equal-length
+    off-dim vectors have a defined cosine there, which packing would
+    lose); NULL-only dirt is filtered off the packed side and keeps the
+    map-only plan; dirty queries reaching the matmul kernel are skipped
+    row-wise (zero output rows for that query, exactly the fallback's
+    NULL-cosine result)."""
     rng = np.random.default_rng(3)
     clean_rows = [
         (i, rng.standard_normal(8).astype(np.float32).tolist())
@@ -313,6 +316,19 @@ def test_brute_force_quarantines_null_and_ragged_vectors(spark):
     pd.testing.assert_frame_equal(
         got2, norm(brute_force_topk(clean_t, q, k=3, broadcast_elems=0)))
     assert set(got2.query_id) == {0, 1}
+
+    # NULL-only dirt (the upstream decode quarantine's shape): one NULL
+    # row must NOT forfeit the 21x map-only plan for a 10^6-row corpus —
+    # it filters off the packed side, results identical to the fallback
+    null_t = spark.createDataFrame(clean_rows + [(100, None)], schema)
+    fast3 = brute_force_topk(null_t, q, k=3)
+    assert "MapInPandas" in (
+        fast3._jdf.queryExecution().executedPlan().toString())
+    got3 = norm(fast3)
+    pd.testing.assert_frame_equal(
+        got3, norm(brute_force_topk(null_t, q, k=3, broadcast_elems=0)))
+    assert 100 not in set(got3.target_id)
+    assert set(got3.query_id) == {0, 1}
 
 
 def test_nan_element_vectors_never_match_or_rank(spark):
