@@ -40,15 +40,25 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     NULL content is UNKNOWN content, not identical content: each NULL row
     keeps itself (n_copies=1). Left in the groupBy, md5(NULL)=NULL would
     collapse every quarantined/unfetched document into ONE keep row — a
-    dedup pass downstream would then delete all but one of them."""
+    dedup pass downstream would then delete all but one of them.
+
+    One scan, one shuffle: NULL hashes key on an id-qualified sentinel
+    (``N\\x00<id>`` — md5 output is 32 hex chars, so the prefix cannot
+    collide) instead of a filter+union split, which would read and md5
+    the 10^12-row corpus TWICE."""
     h = df.select(F.col(id_col), F.md5(F.col(content_col)).alias("_h"))
-    nulls = h.where(F.col("_h").isNull()).select(
-        "_h", F.col(id_col).alias("keep_id"),
-        F.lit(1).cast("long").alias("n_copies"),
+    k = F.coalesce(
+        F.col("_h"), F.concat(F.lit("N\x00"), F.col(id_col).cast("string"))
     )
-    return h.where(F.col("_h").isNotNull()).groupBy("_h").agg(
-        F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies")
-    ).unionByName(nulls)
+    return (
+        h.groupBy(k.alias("_k"))
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+        .select(
+            F.when(F.col("_k").startswith("N\x00"), F.lit(None))
+            .otherwise(F.col("_k")).alias("_h"),
+            "keep_id", "n_copies",
+        )
+    )
 
 
 def _fnv_matrix(mat: np.ndarray) -> np.ndarray:
@@ -573,16 +583,21 @@ def phash_dedup_groups(
     """
     # NULL signatures (e.g. an undecodable image whose phash was
     # quarantined to NULL) are UNKNOWN hashes: they can be dups of
-    # nothing, so each is its own singleton group. Left in the main
-    # path they'd first be grouped as exact dups of each other (groupBy
+    # nothing, so each must be its own singleton group. Keyed on the raw
+    # sig they'd first be grouped as exact dups of each other (groupBy
     # keeps a NULL group) and then VANISH at the final sig equi-join
-    # (NULL never matches NULL) — split them out up front instead.
-    null_sig = df.where(F.col(sig_col).isNull()).select(
-        F.col(id_col),
-        F.col(id_col).alias("rep_id"),
-        F.lit(1).cast("long").alias("group_size"),
-    )
-    df = df.where(F.col(sig_col).isNotNull())
+    # (NULL never matches NULL). Key the exact-collapse and the final
+    # rejoin on a NULL-SAFE synthesized key instead — real sig as a
+    # decimal string, NULL sig as an id-qualified sentinel ("N\x00<id>",
+    # disjoint from any numeric string) — so unknown-sig rows ride the
+    # main path as per-row singleton vertices, with no EXTRA filter+union
+    # scan of the 10^12-image table on top of the collapse+rejoin pair. The
+    # banding below still sees the raw NULL sig, emits NULL block keys,
+    # and NULL never equi-joins: an unknown-sig vertex pairs with nothing.
+    df = df.withColumn("_sk", F.coalesce(
+        F.col(sig_col).cast("string"),
+        F.concat(F.lit("N\x00"), F.col(id_col).cast("string")),
+    ))
     if scope_col:
         # NULL scopes would silently vanish through the equi-joins below
         # (and concat_ws skips NULLs, colliding with the unscoped vid
@@ -595,14 +610,17 @@ def phash_dedup_groups(
         scope = ["_scope"]
     else:
         scope = []
-    sigs = df.groupBy(*scope, sig_col).agg(
-        F.min(id_col).alias("sig_rep"), F.count("*").alias("n_exact")
+    sigs = df.groupBy(*scope, "_sk").agg(
+        F.min(id_col).alias("sig_rep"), F.count("*").alias("n_exact"),
+        # _sk determines the sig (all-equal within a group; all-NULL for
+        # a sentinel group), so min() just surfaces it for the banding
+        F.min(sig_col).alias(sig_col),
     )
-    # vertex id: scope-qualified signature (labels are internal — only the
-    # component PARTITION matters, so any injective encoding works)
+    # vertex id: scope-qualified signature key (labels are internal — only
+    # the component PARTITION matters, so any injective encoding works)
     vid = (
-        F.concat_ws("|", F.col("_scope"), F.col(sig_col).cast("string"))
-        if scope_col else F.col(sig_col).cast("string")
+        F.concat_ws("|", F.col("_scope"), F.col("_sk"))
+        if scope_col else F.col("_sk")
     )
     sigs = sigs.withColumn("vid", vid)
     pairs = hamming_sig_pairs(
@@ -620,7 +638,7 @@ def phash_dedup_groups(
     labeled = sigs.join(
         comps, sigs["vid"] == comps["doc_id"], "left"
     ).select(
-        *scope, sig_col, "sig_rep", "n_exact",
+        *scope, "_sk", "sig_rep", "n_exact",
         F.coalesce(F.col("rep_id"), F.col("vid")).alias("comp"),
     ).localCheckpoint(eager=False)
     grp = labeled.groupBy("comp").agg(
@@ -628,14 +646,14 @@ def phash_dedup_groups(
         F.sum("n_exact").alias("group_size"),
     )
     sig2rep = labeled.join(grp, "comp").select(
-        *scope, sig_col, "rep_id", "group_size"
+        *scope, "_sk", "rep_id", "group_size"
     )
-    base = df.select(id_col, sig_col, *scope) if scope_col else df.select(
-        id_col, sig_col
+    base = df.select(id_col, "_sk", *scope) if scope_col else df.select(
+        id_col, "_sk"
     )
-    return base.join(sig2rep, [*scope, sig_col]).select(
+    return base.join(sig2rep, [*scope, "_sk"]).select(
         id_col, "rep_id", "group_size"
-    ).unionByName(null_sig)
+    )
 
 
 def scoped_components(
