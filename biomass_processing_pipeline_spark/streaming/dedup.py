@@ -145,41 +145,73 @@ def drift_gate_core(
     """Pure greedy arrival-order near-dup gate for ONE tile's batch
     (rows pre-sorted by event time): an arrival is dropped iff it is
     within ``max_hamming`` of an earlier KEPT capture of the same tile
-    still inside the ``horizon_s`` state window. Returns
+    whose event time is inside the row's ``horizon_s`` window. Returns
     (keep_mask, new_sigs, new_ts) with entries older than
-    ``batch_max_ts - horizon_s`` evicted — the bounded-state rule.
+    ``event-time watermark - horizon_s`` evicted — the bounded-state rule.
+
+    The kept STATE makes no ordering assumption: a later micro-batch can
+    carry OLDER event times than an earlier one (out-of-order file
+    arrival), so kept entries append out of event-time order across
+    batches. Liveness is therefore a per-row ``ts >= cutoff`` MASK, not a
+    sorted-prefix pointer (a prefix scan would stall on one large entry,
+    never evict the smaller ones behind it — unbounded state — and gate
+    rows against a wrong window), and eviction uses the monotone
+    watermark ``max(event time seen)``, which an out-of-order batch
+    cannot move backwards.
 
     The row loop is inherently sequential (each kept row changes the
-    verdict for later rows); the Hamming check per row is vectorized
-    against the tile's kept set. Greedy first-arrival semantics: a drift
-    CHAIN (a~b~c with a!~c) keeps a and possibly c — the batch
+    verdict for later rows); the Hamming + liveness check per row is
+    vectorized against the tile's kept set, packed ONCE per batch into
+    int64 arrays (state) plus a preallocated append buffer — no per-row
+    list repacking. Greedy first-arrival semantics: a drift CHAIN
+    (a~b~c with a!~c) keeps a and possibly c — the batch
     ``phash_dedup_groups`` CC pass is the transitive-closure authority,
     this gate only thins the firehose on arrival.
     """
     import numpy as np
 
-    sigs = list(kept_sigs)
-    tss = list(kept_ts)
-    keep = np.zeros(len(phash), dtype=bool)
-    lo = 0  # kept entries are appended in arrival order, so tss is
-    #         nondecreasing and the live window is a suffix
-    for i in range(len(phash)):
-        cutoff = int(ts_s[i]) - horizon_s
-        while lo < len(tss) and tss[lo] < cutoff:
-            lo += 1
-        live = sigs[lo:]
-        if live:
-            ham = _popcount64(
-                np.asarray(live, dtype=np.int64) ^ np.int64(phash[i])
+    n = len(phash)
+    if n == 0:
+        return np.zeros(0, dtype=bool), list(kept_sigs), list(kept_ts)
+    st_sigs = np.asarray(kept_sigs, dtype=np.int64)
+    st_tss = np.asarray(kept_ts, dtype=np.int64)
+    app_sigs = np.empty(n, dtype=np.int64)
+    app_tss = np.empty(n, dtype=np.int64)
+    n_app = 0
+    keep = np.zeros(n, dtype=bool)
+    for i in range(n):
+        t = int(ts_s[i])
+        cutoff = t - horizon_s
+        p = np.int64(phash[i])
+        dup = False
+        if st_sigs.size:
+            ham = _popcount64(st_sigs ^ p)
+            dup = bool(((ham <= max_hamming) & (st_tss >= cutoff)).any())
+        if not dup and n_app:
+            ham = _popcount64(app_sigs[:n_app] ^ p)
+            dup = bool(
+                ((ham <= max_hamming) & (app_tss[:n_app] >= cutoff)).any()
             )
-            dup = bool((ham <= max_hamming).any())
-        else:
-            dup = False
         if not dup:
-            sigs.append(int(phash[i]))
-            tss.append(int(ts_s[i]))
+            app_sigs[n_app] = p
+            app_tss[n_app] = t
+            n_app += 1
             keep[i] = True
-    return keep, sigs[lo:], tss[lo:]
+    watermark = int(ts_s[-1])  # batch rows pre-sorted by event time
+    if st_tss.size:
+        watermark = max(watermark, int(st_tss.max()))
+    cutoff = watermark - horizon_s
+    live_st = st_tss >= cutoff
+    live_app = app_tss[:n_app] >= cutoff
+    new_sigs = (
+        [int(s) for s in st_sigs[live_st]]
+        + [int(s) for s in app_sigs[:n_app][live_app]]
+    )
+    new_tss = (
+        [int(t) for t in st_tss[live_st]]
+        + [int(t) for t in app_tss[:n_app][live_app]]
+    )
+    return keep, new_sigs, new_tss
 
 
 def run_image_driftdedup_stream(
@@ -226,10 +258,12 @@ def run_image_driftdedup_stream(
         sigs, tss = list(sigs), list(tss)
         # one tile's micro-batch can arrive as SEVERAL Arrow chunks
         # (arrow.maxRecordsPerBatch); sorting each chunk independently
-        # would gate out of event-time order and hand drift_gate_core a
-        # non-monotonic kept-ts list (its suffix eviction assumes
-        # nondecreasing appends). Materialize the group — bounded by one
-        # tile x one micro-batch — and sort ONCE.
+        # would gate WITHIN the micro-batch out of event-time order
+        # (drift_gate_core's greedy pass wants batch rows time-sorted;
+        # across batches it assumes nothing — out-of-order arrival is
+        # handled by its liveness mask + watermark eviction). Materialize
+        # the group — bounded by one tile x one micro-batch — and sort
+        # ONCE.
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
             pdf = chunks[0] if len(chunks) == 1 else pd.concat(

@@ -338,9 +338,10 @@ def test_streaming_drift_gate_group_spans_arrow_chunks(spark):
 def _naive_drift_gate(phash, ts_s, kept_sigs, kept_ts, max_hamming,
                       horizon_s):
     """Obviously-correct O(rows x kept) reference for drift_gate_core: the
-    live set is recomputed per row by a FULL scan (no suffix-eviction
-    pointer, no vectorized popcount) and the final state is every kept
-    entry still inside the last row's horizon window."""
+    live set is recomputed per row by a FULL scan (no vectorized popcount,
+    no ordering assumption on the kept state) and the final state is every
+    kept entry inside the horizon of the event-time WATERMARK (max event
+    time seen across state and batch — the monotone eviction bound)."""
     kept = list(zip(kept_sigs, kept_ts))
     keep = []
     for p, t in zip(phash, ts_s):
@@ -353,16 +354,12 @@ def _naive_drift_gate(phash, ts_s, kept_sigs, kept_ts, max_hamming,
         keep.append(not dup)
         if not dup:
             kept.append((int(p), int(t)))
-    cutoff = (int(ts_s[-1]) - horizon_s) if len(ts_s) else None
-    if cutoff is None:
+    if not len(ts_s):
         live_kept = kept
     else:
-        # drift_gate_core evicts a PREFIX (its kept list is ts-sorted under
-        # the documented preconditions), so mirror that here
-        i = 0
-        while i < len(kept) and kept[i][1] < cutoff:
-            i += 1
-        live_kept = kept[i:]
+        watermark = max([int(ts_s[-1])] + [kt for _, kt in kept])
+        cutoff = watermark - horizon_s
+        live_kept = [(s, kt) for s, kt in kept if kt >= cutoff]
     return keep, [s for s, _ in live_kept], [t for _, t in live_kept]
 
 
@@ -370,8 +367,10 @@ def test_drift_gate_core_fuzz_vs_naive_reference():
     """Hypothesis fuzz of the streaming drift gate's pure core against the
     naive reference: random CLUSTERED signatures (so Hamming hits actually
     occur), random horizons that force mid-batch eviction, and a random
-    pre-seeded state (the cross-micro-batch case). Exercises the suffix
-    -eviction pointer and the SWAR popcount together."""
+    UNORDERED pre-seeded state (the cross-micro-batch case, including
+    out-of-order file arrival where a batch predates state entries).
+    Exercises the liveness mask, watermark eviction and the SWAR popcount
+    together."""
     import numpy as np
     from hypothesis import given, settings
     from hypothesis import strategies as st
@@ -397,13 +396,12 @@ def test_drift_gate_core_fuzz_vs_naive_reference():
             for f in flips:
                 b ^= 1 << int(f)
             return np.int64(np.uint64(b & ((1 << 64) - 1)))
-        # documented preconditions: state ts nondecreasing, batch rows
-        # ts-sorted, state ts <= first batch ts (arrival order)
-        state_ts = sorted(int(x) for x in rng.integers(0, 30, size=n_state))
-        first_ts = state_ts[-1] if state_ts else 0
-        row_ts = sorted(
-            first_ts + int(x) for x in rng.integers(0, 80, size=n_rows)
-        )
+        # batch rows are ts-sorted (the gate sorts each micro-batch) but
+        # the STATE carries no ordering guarantee: out-of-order file
+        # arrival appends old event times after new ones, and a whole
+        # batch may predate part of the state — generate both
+        state_ts = [int(x) for x in rng.integers(0, 60, size=n_state)]
+        row_ts = sorted(int(x) for x in rng.integers(0, 80, size=n_rows))
         state_sigs = [int(sig()) for _ in range(n_state)]
         phash = np.array([sig() for _ in range(n_rows)], dtype=np.int64)
         ts_arr = np.array(row_ts, dtype=np.int64)
@@ -419,11 +417,57 @@ def test_drift_gate_core_fuzz_vs_naive_reference():
         assert [int(s) for s in sigs] == [int(s) for s in ref_sigs]
         assert [int(t) for t in tss] == [int(t) for t in ref_ts]
         # state boundedness: every returned entry is inside the horizon of
-        # the last processed row (when any rows were processed)
+        # the event-time watermark (when any rows were processed)
         if n_rows:
-            assert all(t >= row_ts[-1] - horizon for t in tss)
+            watermark = max([row_ts[-1]] + state_ts)
+            assert all(t >= watermark - horizon for t in tss)
 
     run()
+
+
+def test_drift_gate_out_of_order_batches_evict_and_gate_correctly():
+    """Cross-micro-batch out-of-order arrival: batch 2 carries OLDER event
+    times than batch 1 (a late-arriving file). The old prefix-eviction
+    pointer stalled on batch 1's large timestamps and never evicted the
+    late entries behind them (state leak), and gated late rows against a
+    wrong window. The mask/watermark core must (a) gate batch-2 rows
+    against ALL live kept entries including future-event-time ones
+    (greedy arrival order), (b) keep state bounded by the watermark."""
+    import numpy as np
+
+    from biomass_processing_pipeline_spark.streaming.dedup import (
+        drift_gate_core,
+    )
+
+    horizon = 200
+    # batch 1: two kept captures at t=1000, 1090 (Hamming 2 apart > 1)
+    keep1, sigs1, tss1 = drift_gate_core(
+        np.array([1 << 20, 1 << 40], dtype=np.int64),
+        np.array([1000, 1090], dtype=np.int64), [], [], 1, horizon,
+    )
+    assert list(keep1) == [True, True]
+    # batch 2 arrives LATE: t=940 is a novel sig (kept, appended AFTER the
+    # larger timestamps -> state goes out of event-time order); t=950 is
+    # Hamming-1 from the t=1000 keep, which sits in its event-time FUTURE
+    # but is an earlier ARRIVAL -> dropped greedily
+    keep2, sigs2, tss2 = drift_gate_core(
+        np.array([1 << 60, (1 << 20) ^ 1], dtype=np.int64),
+        np.array([940, 950], dtype=np.int64), sigs1, tss1, 1, horizon,
+    )
+    assert list(keep2) == [True, False]
+    assert set(tss2) == {1000, 1090, 940}  # state now out of order
+    # batch 3 at t=1200: watermark 1200, cutoff 1000 -> the late t=940
+    # entry (and nothing else) must evict even though it sits BEHIND
+    # larger timestamps in the state list, and its sig must no longer
+    # gate. The old prefix pointer stalled at tss[0]=1000: it kept the
+    # dead 940 entry forever (leak) AND dropped this row against it.
+    keep3, sigs3, tss3 = drift_gate_core(
+        np.array([(1 << 60) ^ 1], dtype=np.int64),
+        np.array([1200], dtype=np.int64), sigs2, tss2, 1, horizon,
+    )
+    assert list(keep3) == [True]
+    assert set(tss3) == {1000, 1090, 1200}
+    assert 940 not in tss3 and (1 << 60) not in sigs3
 
 
 def test_popcount64_fuzz_vs_python_bincount():
