@@ -32,6 +32,45 @@ def _upsert_bucket(key_cols: list[str], n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int")
 
 
+class _swap_lock:
+    """Exclusive advisory lock (O_EXCL lock file) serializing every
+    bucket-swap mutation of one upsert table — the writer's swap loop and
+    any reader's roll-forward repair. Without it two repairers (or a
+    repairer racing a retrying writer) can interleave ``rmtree`` +
+    ``rename`` on the same bucket and delete a freshly-swapped directory.
+    Local-FS stand-in for the Iceberg commit protocol's optimistic lock,
+    like the rename swap itself. A crashed holder leaves the lock file:
+    time out LOUDLY with removal guidance rather than guessing."""
+
+    def __init__(self, path: str, timeout_s: float = 60.0):
+        self.lock = os.path.join(path, "_SWAP.lock")
+        self.timeout_s = timeout_s
+
+    def __enter__(self):
+        import time
+
+        deadline = time.monotonic() + self.timeout_s
+        while True:
+            try:
+                os.close(os.open(self.lock, os.O_CREAT | os.O_EXCL))
+                return self
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise RuntimeError(
+                        f"{self.lock} held for >{self.timeout_s}s — if the "
+                        "holding process is dead, remove the lock file and "
+                        "retry"
+                    ) from None
+                time.sleep(0.05)
+
+    def __exit__(self, *exc):
+        try:
+            os.remove(self.lock)
+        except FileNotFoundError:
+            pass
+        return False
+
+
 def _repair_pending_upsert(path: str) -> bool:
     """Roll an interrupted bucket swap FORWARD (idempotent): the
     ``_PENDING.json`` marker is written only after the staged write is
@@ -41,7 +80,9 @@ def _repair_pending_upsert(path: str) -> bool:
     This closes the crash-mid-swap window of the multi-bucket rename loop:
     a reader (or the lineage resume) that finds the marker repairs the
     table to the batch's committed state before reading, instead of
-    silently seeing half-old half-new buckets.
+    silently seeing half-old half-new buckets. Concurrent callers
+    serialize on ``_swap_lock``; whoever wins repairs, the rest see the
+    marker gone and return.
     """
     import json
     import shutil
@@ -49,19 +90,22 @@ def _repair_pending_upsert(path: str) -> bool:
     pend = os.path.join(path, "_PENDING.json")
     if not os.path.exists(pend):
         return False
-    with open(pend) as fh:
-        info = json.load(fh)
-    tmp = info["staged"]
-    for b in info["touched"]:
-        src = os.path.join(tmp, f"{UPSERT_BUCKET_COL}={b}")
-        dst = os.path.join(path, f"{UPSERT_BUCKET_COL}={b}")
-        if os.path.exists(src):
-            if os.path.exists(dst):
-                shutil.rmtree(dst)
-            os.rename(src, dst)
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    os.remove(pend)
+    with _swap_lock(path):
+        if not os.path.exists(pend):  # lost the race: already repaired
+            return False
+        with open(pend) as fh:
+            info = json.load(fh)
+        tmp = info["staged"]
+        for b in info["touched"]:
+            src = os.path.join(tmp, f"{UPSERT_BUCKET_COL}={b}")
+            dst = os.path.join(path, f"{UPSERT_BUCKET_COL}={b}")
+            if os.path.exists(src):
+                if os.path.exists(dst):
+                    shutil.rmtree(dst)
+                os.rename(src, dst)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.remove(pend)
     return True
 
 
@@ -169,15 +213,24 @@ def upsert_parquet(
             _repair_pending_upsert(path)
         exists = os.path.exists(path)
         if not exists:
+            # table CREATE is staged + one atomic dir rename: a crash
+            # mid-write must not leave a torn, marker-less table at
+            # ``path`` that readers would serve as valid data (and whose
+            # missing _upsert_meta.json would kill the next batch) — with
+            # staging, readers see either no table or the complete one.
+            # The meta file is written INSIDE the staged dir so it commits
+            # with the data.
+            tmp = path.rstrip("/") + "._create_staged"
             first = new.withColumn(UPSERT_BUCKET_COL,
                                    _upsert_bucket(key_cols, n_buckets))
             (
                 first.observe(obs, F.count(F.lit(1)).alias("n"))
                 .write.mode("overwrite")
-                .partitionBy(UPSERT_BUCKET_COL).parquet(path)
+                .partitionBy(UPSERT_BUCKET_COL).parquet(tmp)
             )
-            with open(meta_path, "w") as fh:
+            with open(os.path.join(tmp, "_upsert_meta.json"), "w") as fh:
                 json.dump({"n_buckets": n_buckets, "key_cols": key_cols}, fh)
+            os.rename(tmp, path)
             return int(obs.get["n"])
 
         old = spark.read.parquet(path)
@@ -220,20 +273,23 @@ def upsert_parquet(
         # intent marker BEFORE the swap loop (atomic tmp-file replace): a
         # crash between any two renames leaves the marker behind, and
         # readers / retries roll the swap forward instead of seeing a
-        # half-applied batch
+        # half-applied batch. The marker write + swap run under the same
+        # _swap_lock the repair path takes, so a concurrent reader-repair
+        # cannot interleave its renames with ours.
         pend = os.path.join(path, "_PENDING.json")
-        with open(pend + ".tmp", "w") as fh:
-            json.dump({"touched": touched, "staged": tmp}, fh)
-        os.replace(pend + ".tmp", pend)
-        for b in touched:
-            src = os.path.join(tmp, f"{UPSERT_BUCKET_COL}={b}")
-            dst = os.path.join(path, f"{UPSERT_BUCKET_COL}={b}")
-            if os.path.exists(dst):
-                shutil.rmtree(dst)
-            if os.path.exists(src):  # every touched bucket has >=1 new row
-                os.rename(src, dst)
-        shutil.rmtree(tmp)
-        os.remove(pend)  # commit point: swap fully applied
+        with _swap_lock(path):
+            with open(pend + ".tmp", "w") as fh:
+                json.dump({"touched": touched, "staged": tmp}, fh)
+            os.replace(pend + ".tmp", pend)
+            for b in touched:
+                src = os.path.join(tmp, f"{UPSERT_BUCKET_COL}={b}")
+                dst = os.path.join(path, f"{UPSERT_BUCKET_COL}={b}")
+                if os.path.exists(dst):
+                    shutil.rmtree(dst)
+                if os.path.exists(src):  # every touched bucket has new rows
+                    os.rename(src, dst)
+            shutil.rmtree(tmp)
+            os.remove(pend)  # commit point: swap fully applied
         return touched_rows + untouched_rows
     finally:
         new.unpersist()

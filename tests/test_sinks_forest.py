@@ -263,6 +263,76 @@ def test_upsert_crash_mid_swap_repair(spark):
         assert got == expect
         assert not os.path.exists(os.path.join(out, "_PENDING.json"))
         assert not os.path.exists(out + "._staged")
+        # the in-process failure path must have released the swap lock
+        # (a real process kill leaves it; _swap_lock times out loudly)
+        assert not os.path.exists(os.path.join(out, "_SWAP.lock"))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_upsert_create_is_atomic(spark):
+    """A crash during the FIRST batch's write must not leave a torn,
+    marker-less table that readers would serve as valid data (or whose
+    missing _upsert_meta.json kills the next batch): the create is staged
+    and committed by one directory rename, so the path either doesn't
+    exist or holds the complete table + meta."""
+    import os
+
+    import pytest
+
+    from biomass_processing_pipeline_spark.sources import sinks
+
+    base = tempfile.mkdtemp(prefix="bpp_upsert_create_")
+    out = base + "/t"
+    try:
+        v1 = spark.range(0, 50).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+        real_rename = os.rename
+
+        def flaky_rename(src, dst):
+            if src.endswith("._create_staged"):
+                raise OSError("simulated crash at create commit")
+            return real_rename(src, dst)
+
+        os.rename = flaky_rename
+        try:
+            with pytest.raises(OSError, match="create commit"):
+                upsert_parquet(spark, v1, out, ["k"], n_buckets=8)
+        finally:
+            os.rename = real_rename
+        assert not os.path.exists(out)  # no torn table visible
+        # retry commits the complete table (meta included) atomically
+        n = upsert_parquet(spark, v1, out, ["k"], n_buckets=8)
+        assert n == 50
+        assert os.path.exists(os.path.join(out, "_upsert_meta.json"))
+        got = {r.k: r.v for r in
+               sinks.read_upsert_parquet(spark, out).collect()}
+        assert got == {k: k * 10 for k in range(50)}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_swap_lock_times_out_loudly_on_stale_holder():
+    """A dead process's leftover _SWAP.lock must not hang readers forever:
+    acquisition times out with removal guidance; after removal the lock
+    is acquirable again."""
+    import os
+
+    import pytest
+
+    from biomass_processing_pipeline_spark.sources.sinks import _swap_lock
+
+    base = tempfile.mkdtemp(prefix="bpp_swap_lock_")
+    try:
+        open(os.path.join(base, "_SWAP.lock"), "w").close()  # stale holder
+        with pytest.raises(RuntimeError, match="remove the lock file"):
+            with _swap_lock(base, timeout_s=0.2):
+                pass
+        os.remove(os.path.join(base, "_SWAP.lock"))
+        with _swap_lock(base, timeout_s=0.2):
+            assert os.path.exists(os.path.join(base, "_SWAP.lock"))
+        assert not os.path.exists(os.path.join(base, "_SWAP.lock"))
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
