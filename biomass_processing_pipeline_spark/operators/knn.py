@@ -368,6 +368,52 @@ def _auto_level(r_needed: float) -> int:
     return int(np.clip(np.ceil(np.log2(540.0 / r_needed)), 4, 20))
 
 
+def _target_stats(targets: DataFrame):
+    """One slim agg job: target count + bbox (the inputs to density
+    sizing). Shared by ``knn_join`` and ``knn_weighted_agg_fused`` so the
+    sizing rule cannot silently diverge between the two entry points."""
+    return targets.agg(
+        F.count("*").alias("n"),
+        F.min("lon").alias("x0"), F.max("lon").alias("x1"),
+        F.min("lat").alias("y0"), F.max("lat").alias("y1"),
+    ).collect()[0]
+
+
+def _density_sizing(stats_row, k: int) -> tuple[int, float]:
+    """-> (n_targets, r_needed): a guaranteed disc expected to hold ~1.5k
+    targets, so the ring round completes almost every point (the reference
+    sizes its search radius the same way — a fixed 0.1 deg default tuned
+    to FIA plot density, processing_config_v3.py:23)."""
+    n_targets = int(stats_row.n)
+    area = max((stats_row.x1 - stats_row.x0) * (stats_row.y1 - stats_row.y0),
+               1e-9)
+    density = max(n_targets / area, 1e-9)
+    return n_targets, float(np.sqrt(1.5 * k / (np.pi * density)))
+
+
+def _ring_sizing(n_targets: int, r_needed: float,
+                 level: int | None) -> tuple[int, float, int]:
+    """-> (level, cell_w_deg, ring_k). Auto level: cell height ~
+    r_needed/3 keeps the ring-rounding overshoot <= (4/3)^2 in candidate
+    count while the ring table (targets x (2r+1)^2) stays broadcastable
+    (shrunk until <= 2M rows); a caller-pinned level is honored as-is.
+    The coverage guarantee must use the SMALLER cell dimension: the grid
+    is 2^L x 2^L over a 360x180 extent, so cells are 2:1 rectangles and a
+    ring of Chebyshev radius r only guarantees the disc of radius
+    r * min(width, height) degrees."""
+    if level is None:
+        level = _auto_level(r_needed)
+        while n_targets * (2 * max(1, int(np.ceil(
+                r_needed / (180.0 / (1 << level))))) + 1) ** 2 > 2_000_000 \
+                and level > 4:
+            level -= 1
+    cell_w_deg = min(
+        (cells.LON_MAX - cells.LON_MIN) / (1 << level),
+        (cells.LAT_MAX - cells.LAT_MIN) / (1 << level),
+    )
+    return level, cell_w_deg, max(1, int(np.ceil(r_needed / cell_w_deg)))
+
+
 def _local_knn_join(points: DataFrame, targets: DataFrame, k: int,
                     level: int, point_key: str, target_key: str,
                     r_needed: float) -> DataFrame:
@@ -446,11 +492,7 @@ def knn_join(
     undefined position has no defined neighbors (``_valid_coords``).
     """
     points, targets = _valid_coords(points), _valid_coords(targets)
-    stats_row = targets.agg(
-        F.count("*").alias("n"),
-        F.min("lon").alias("x0"), F.max("lon").alias("x1"),
-        F.min("lat").alias("y0"), F.max("lat").alias("y1"),
-    ).collect()[0]
+    stats_row = _target_stats(targets)
     if int(stats_row.n) == 0:
         # kNN over zero targets = zero neighbor rows (the bbox stats below
         # are NULL and would raise in the density arithmetic)
@@ -459,40 +501,16 @@ def knn_join(
             T.StructField("distance", T.DoubleType()),
             T.StructField("rank", T.IntegerType()),
         ]))
-    n_targets = int(stats_row.n)
-    # density-based sizing: a guaranteed disc expected to hold ~1.5k
-    # targets, so phase 1 completes almost every point (the reference sizes
-    # its search radius the same way — a fixed 0.1 deg default tuned to FIA
-    # plot density, processing_config_v3.py:23)
-    area = max((stats_row.x1 - stats_row.x0) * (stats_row.y1 - stats_row.y0), 1e-9)
-    density = max(n_targets / area, 1e-9)
-    r_needed = float(np.sqrt(1.5 * k / (np.pi * density)))
+    n_targets, r_needed = _density_sizing(stats_row, k)
     if (level is None and init_ring is None
             and n_targets <= local_index_threshold):
         return _local_knn_join(
             points, targets, k, _auto_level(r_needed), point_key,
             target_key, r_needed,
         )
-    if level is None:
-        # auto level: cell height ~ r_needed/3 keeps the ring-rounding
-        # overshoot <= (4/3)^2 in candidate count while the ring table
-        # (targets x (2r+1)^2) stays broadcastable
-        level = _auto_level(r_needed)
-        while n_targets * (2 * max(1, int(np.ceil(
-                r_needed / (180.0 / (1 << level))))) + 1) ** 2 > 2_000_000 \
-                and level > 4:
-            level -= 1
-    # coverage guarantee must use the SMALLER cell dimension: the grid is
-    # 2^L x 2^L over a 360x180 extent, so cells are 2:1 rectangles and a
-    # ring of Chebyshev radius r only guarantees the disc of radius
-    # r * min(width, height) degrees.
-    cell_w_deg = min(
-        (cells.LON_MAX - cells.LON_MIN) / (1 << level),
-        (cells.LAT_MAX - cells.LAT_MIN) / (1 << level),
-    )
-    if init_ring is None:
-        init_ring = max(1, int(np.ceil(r_needed / cell_w_deg)))
-    ring_k = init_ring
+    level, cell_w_deg, ring_k = _ring_sizing(n_targets, r_needed, level)
+    if init_ring is not None:
+        ring_k = init_ring
     guard = ring_k * cell_w_deg
 
     targets = targets.select(
@@ -688,14 +706,10 @@ def knn_weighted_agg_fused(
     (~points x n_cats rows) carry both the mode vote and the weighted-mean
     sums, so the points x k stream still never materializes.
     """
-    # ---- phase 1 setup: identical sizing logic to knn_join ----
+    # ---- phase 1 setup: the SHARED sizing helpers knn_join uses ----
     # (incl. the NULL/NaN coordinate gate — see _valid_coords)
     points, targets = _valid_coords(points), _valid_coords(targets)
-    stats_row = targets.agg(
-        F.count("*").alias("n"),
-        F.min("lon").alias("x0"), F.max("lon").alias("x1"),
-        F.min("lat").alias("y0"), F.max("lat").alias("y1"),
-    ).collect()[0]
+    stats_row = _target_stats(targets)
     if int(stats_row.n) == 0:
         # zero targets -> zero aggregate rows (NULL bbox stats would raise
         # in the density arithmetic below)
@@ -707,26 +721,13 @@ def knn_weighted_agg_fused(
             fields.append(T.StructField(
                 f"mode_{mode_attr}", targets.schema[mode_attr].dataType))
         return points.sparkSession.createDataFrame([], T.StructType(fields))
-    n_targets = int(stats_row.n)
-    area = max((stats_row.x1 - stats_row.x0) * (stats_row.y1 - stats_row.y0), 1e-9)
-    density = max(n_targets / area, 1e-9)
-    r_needed = float(np.sqrt(1.5 * k / (np.pi * density)))
+    n_targets, r_needed = _density_sizing(stats_row, k)
     if level is None and n_targets <= local_index_threshold:
         return _local_fused(
             points, targets, attrs, k, _auto_level(r_needed), point_key,
             target_key, eps, mode_attr, r_needed,
         )
-    if level is None:
-        level = _auto_level(r_needed)
-        while n_targets * (2 * max(1, int(np.ceil(
-                r_needed / (180.0 / (1 << level))))) + 1) ** 2 > 2_000_000 \
-                and level > 4:
-            level -= 1
-    cell_w_deg = min(
-        (cells.LON_MAX - cells.LON_MIN) / (1 << level),
-        (cells.LAT_MAX - cells.LAT_MIN) / (1 << level),
-    )
-    ring_k = max(1, int(np.ceil(r_needed / cell_w_deg)))
+    level, cell_w_deg, ring_k = _ring_sizing(n_targets, r_needed, level)
     guard = ring_k * cell_w_deg
 
     t_sel = targets.select(
