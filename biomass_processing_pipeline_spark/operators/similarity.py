@@ -693,3 +693,60 @@ def ivf_topk(
     onto candidates by id."""
     cand = ivf_candidates(emb, queries, centroids, n_probe, id_col, vec_col)
     return cosine_refine_topk(cand, emb, queries, k, id_col, vec_col)
+
+
+def semdedup_groups(
+    emb: DataFrame,
+    assign: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding corpus, connect
+    within-cluster pairs whose cosine clears ``threshold``, keep ONE doc
+    per connected component (min-id representative — the repo-wide tie
+    rule).
+
+    ``assign``: the ``(t_id, list_id)`` cluster table (``ivf_assign``
+    output; pass a FROZEN copy for reproducible pipelines — the oracle
+    does). -> ``(id, rep_id, is_kept)``, one row per input vector;
+    vectors with no in-cluster near-dup keep themselves, and so do
+    NULL / zero-norm / non-finite vectors (NULL ``list_id`` never
+    equi-joins; a NULL cosine never clears the threshold — the pinned
+    unknown-matches-nothing rule).
+
+    Scale shape: the candidate self-join carries two longs per row
+    (vectors join back onto surviving candidates only, the
+    ``cosine_dup_pairs`` pattern), within-cluster pair count is bounded
+    by ``n_centroids`` at training time (more lists = smaller clusters =
+    fewer pairs — SemDeDup's own epsilon-ball economics), and the
+    component pass is ``scoped_components``' single Arrow union-find per
+    cluster: edges never cross a cluster, so no driver rounds.
+    """
+    from biomass_processing_pipeline_spark.operators.dedup import (
+        scoped_components,
+    )
+
+    a = assign.select(F.col("t_id").alias("id_a"), "list_id")
+    b = assign.select(F.col("t_id").alias("id_b"), "list_id")
+    cand = a.join(b, "list_id").where(F.col("id_a") < F.col("id_b"))
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    pairs = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(_cosine_col("v_a", "v_b"), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("list_id", "id_a", "id_b")
+    )
+    comp = scoped_components(pairs, "list_id")
+    return (
+        emb.select(F.col(id_col).alias("doc_id"))
+        .join(comp, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.coalesce("rep_id", "doc_id").alias("rep_id"),
+        )
+        .withColumn("is_kept", F.col(id_col) == F.col("rep_id"))
+    )

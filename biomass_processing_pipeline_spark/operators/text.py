@@ -153,3 +153,74 @@ def doc_stats(df: DataFrame, text_col: str = "text",
     return q.withColumn("fingerprint", fingerprint_udf()(F.col(text_col))).drop(
         text_col
     )
+
+
+def word_ngrams_col(text: Column, n: int) -> Column:
+    """Word ``n``-grams as ``array<string>`` — native ``split`` +
+    ``sequence`` + ``slice``/``array_join``, no UDF (the whole expression
+    stays inside whole-stage codegen).
+
+    Docs shorter than ``n`` words produce an EMPTY array, and so does
+    NULL text: unknown content can never evidence an n-gram match — the
+    dedup-wide NULL rule (ARCHITECTURE.md cross-plan semantics (e)).
+    The ``when`` guard is load-bearing: ``sequence(1, size-n+1)`` with a
+    negative stop would generate a DESCENDING sequence, not an empty one.
+    """
+    words = F.split(text, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word ``n``-gram with an evaluation/benchmark set (the GPT-3 appendix-C
+    / PaLM eval-overlap rule, re-expressed relationally).
+
+    -> one row per ``train`` doc:
+    ``(id, n_grams, n_hit_grams, contaminated)`` where ``n_grams`` counts
+    the doc's DISTINCT n-grams and ``n_hit_grams`` those that occur
+    anywhere in the eval set. Docs too short for one n-gram (or NULL
+    text) report 0/0/false rather than vanishing.
+
+    Scale shape (100 TB corpus vs benchmark-sized eval set): the eval
+    distinct-gram table is tiny (benchmarks are thousands of docs), so it
+    BROADCASTS and the contamination probe is a map-side semi-join; the
+    train side's n-gram explode never shuffles raw text — the only
+    exchanges carry slim ``(doc_id, gram)`` rows for the per-doc distinct
+    + counts, both partial-aggregated. No UDFs anywhere on the path.
+    """
+    tg = train.select(
+        F.col(id_col),
+        F.explode(word_ngrams_col(F.col(text_col), n)).alias("gram"),
+    ).distinct()
+    eg = eval_docs.select(
+        F.explode(word_ngrams_col(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    per_doc = tg.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    hits = (
+        tg.join(F.broadcast(eg), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit_grams"))
+    )
+    return (
+        train.select(id_col)
+        .join(per_doc, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams"),
+        )
+        .withColumn("contaminated", F.col("n_hit_grams") > 0)
+    )

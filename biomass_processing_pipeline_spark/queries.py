@@ -2155,6 +2155,100 @@ SQL_UPSERT = """
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix-C rule): every tenth doc
+    is the deterministic 'benchmark'; each remaining training doc reports
+    its distinct word-4-gram count and how many of those occur anywhere
+    in the benchmark — all native expressions, eval grams broadcast."""
+    from biomass_processing_pipeline_spark.operators.text import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.where(F.col("doc_id") % 10 != 0),
+        docs.where(F.col("doc_id") % 10 == 0),
+        n=4,
+    )
+
+
+SQL_DECONTAMINATE = """
+  WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+  g AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(words) - 4 + 2),
+                      i -> array_to_string(words[i:i+3], ' '))) AS gram
+        FROM w),
+  tg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 10 <> 0),
+  eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+  per_doc AS (SELECT doc_id, COUNT(*) AS n_grams FROM tg GROUP BY doc_id),
+  hits AS (SELECT doc_id, COUNT(*) AS n_hit_grams FROM tg
+           WHERE gram IN (SELECT gram FROM eg) GROUP BY doc_id)
+  SELECT d.doc_id,
+         COALESCE(p.n_grams, 0) AS n_grams,
+         COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
+         COALESCE(h.n_hit_grams, 0) > 0 AS contaminated
+  FROM documents d
+  LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+  LEFT JOIN hits h ON h.doc_id = d.doc_id
+  WHERE d.doc_id % 10 <> 0
+"""
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup: distributed-Lloyd clusters (assignment
+    FROZEN to parquet so the DuckDB twin consumes identical clusters),
+    within-cluster cosine>=0.4 pair graph, one kept representative per
+    component (min id). The non-SQL half is exactly the k-means assign;
+    the cosine refine + components are verified hash-exact."""
+    from biomass_processing_pipeline_spark.operators.similarity import (
+        ivf_assign, semdedup_groups, train_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    frozen = _frozen_candidates(
+        spark,
+        lambda: ivf_assign(emb, train_centroids(emb, n_centroids=8)),
+        "semdedup_assign.parquet", sf_dir,
+    )
+    return semdedup_groups(emb, frozen, threshold=0.4)
+
+
+def _sql_semdedup(assign_parquet: str) -> str:
+    """Recursive-CTE twin over the frozen cluster assignment: exact
+    within-cluster cosine pairs -> min-reachable-id components -> keep
+    flag (the dedup_components / phash_dedup CTE shape)."""
+    return f"""
+WITH RECURSIVE
+assign AS (SELECT t_id, list_id FROM read_parquet('{assign_parquet}/*.parquet')),
+u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+norms AS (SELECT vec_id, SUM(x * x) AS n2 FROM u GROUP BY vec_id),
+cand AS (SELECT a.t_id AS ia, b.t_id AS ib
+         FROM assign a JOIN assign b USING (list_id) WHERE a.t_id < b.t_id),
+dots AS (SELECT c.ia, c.ib, SUM(ua.x * ub.x) AS dot
+         FROM cand c
+         JOIN u ua ON ua.vec_id = c.ia
+         JOIN u ub ON ub.vec_id = c.ib AND ub.i = ua.i
+         GROUP BY 1, 2),
+pairs AS MATERIALIZED (
+  SELECT ia AS id_a, ib AS id_b
+  FROM dots JOIN norms na ON na.vec_id = ia JOIN norms nb ON nb.vec_id = ib
+  WHERE ROUND(dot / sqrt(na.n2 * nb.n2), 6) >= 0.4),
+sym AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+verts AS (SELECT DISTINCT src AS id FROM sym),
+reach(id, r) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT s.src, reach.r FROM sym s JOIN reach ON reach.id = s.dst),
+comp AS (SELECT id AS doc_id, MIN(r) AS rep_id FROM reach GROUP BY id)
+SELECT e.vec_id,
+       COALESCE(c.rep_id, e.vec_id) AS rep_id,
+       e.vec_id = COALESCE(c.rep_id, e.vec_id) AS is_kept
+FROM embeddings e LEFT JOIN comp c ON c.doc_id = e.vec_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "urban_filter": q_urban_filter,
@@ -2207,6 +2301,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "upsert_semantics": q_upsert_semantics,
     "phash_dedup": q_phash_dedup,
     "intersect_rect": q_intersect_rect,
+    "decontaminate": q_decontaminate,
+    "semdedup": q_semdedup,
 }
 
 _STATIC_ORACLES: dict[str, str] = {
@@ -2254,6 +2350,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "validation_flags": SQL_VALIDATION,
     "upsert_semantics": SQL_UPSERT,
     "intersect_rect": _sql_intersect_rect(),
+    "decontaminate": SQL_DECONTAMINATE,
 }
 
 
@@ -2273,6 +2370,7 @@ def oracles_for(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     adir = _ann_freeze_dir(sf_dir)
     out["sim_lsh"] = _sql_ann_refine(f"{adir}/lsh_candidates.parquet")
     out["sim_ivf"] = _sql_ann_refine(f"{adir}/ivf_candidates.parquet")
+    out["semdedup"] = _sql_semdedup(f"{adir}/semdedup_assign.parquet")
     return out
 
 

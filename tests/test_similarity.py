@@ -463,3 +463,64 @@ def test_zero_norm_vector_never_holds_ann_topk_slot(spark):
     bf = brute_force_topk(corpus, queries, k=39).toPandas()
     assert 200 not in set(bf.target_id)
     assert set(bf.query_id.unique()) <= {0}
+
+
+def test_semdedup_groups_planted(spark):
+    """SemDeDup semantics pinned closed-form: exact dups merge within a
+    cluster, transitive chains merge, a cross-CLUSTER exact dup does NOT
+    merge (SemDeDup's defining approximation), no-dup vectors and
+    NULL-assigned (quarantined) vectors keep themselves."""
+    from biomass_processing_pipeline_spark.operators.similarity import (
+        semdedup_groups,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),   # list 0: dup of 2
+            (2, [2.0, 0.0, 0.0]),   # list 0 (cosine(1,2)=1)
+            (3, [0.0, 1.0, 0.0]),   # list 0: orthogonal — singleton
+            (4, [1.0, 1.0, 0.0]),   # list 1: chain 4-5
+            (5, [1.0, 0.9, 0.0]),   # list 1: chain 5-6 (4-6 below thr)
+            (6, [1.0, 0.58, 0.0]),  # list 1: 4-6 directly below thr
+            (7, [1.0, 0.0, 0.0]),   # list 2: exact dup of 1, OTHER cluster
+            (8, None),              # NULL embedding, NULL list
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    assign = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 1), (5, 1), (6, 1), (7, 2)],
+        "t_id long, list_id int",
+    ).unionByName(
+        spark.createDataFrame([(8, None)], "t_id long, list_id int")
+    )
+    import numpy as np
+
+    def cos(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return round(float(a @ b / np.sqrt((a @ a) * (b @ b))), 6)
+
+    # threshold between cos(4,6) and min(cos(4,5), cos(5,6)): the chain
+    # merges only transitively
+    lo, hi = cos([1, 1, 0], [1, 0.58, 0]), min(
+        cos([1, 1, 0], [1, 0.9, 0]), cos([1, 0.9, 0], [1, 0.58, 0])
+    )
+    assert lo < hi
+    thr = (lo + hi) / 2
+    got = (
+        semdedup_groups(emb, assign, threshold=thr)
+        .toPandas().set_index("vec_id").sort_index()
+    )
+    assert got.rep_id.to_dict() == {
+        1: 1, 2: 1, 3: 3, 4: 4, 5: 4, 6: 4, 7: 7, 8: 8
+    }
+    assert got.is_kept.to_dict() == {
+        1: True, 2: False, 3: True, 4: True, 5: False, 6: False,
+        7: True, 8: True,
+    }
+    # partitioning independence
+    got2 = (
+        semdedup_groups(emb.repartition(7), assign.repartition(5),
+                        threshold=thr)
+        .toPandas().set_index("vec_id").sort_index()
+    )
+    assert got2.rep_id.to_dict() == got.rep_id.to_dict()

@@ -89,3 +89,56 @@ def test_fingerprint_edge_docs_match_oracle(spark):
     # NULL doc emits nothing; empty doc emits exactly [0]
     assert 4 not in set(got.doc_id)
     assert got[got.doc_id == 1].fp_hash.tolist() == [0]
+
+
+def test_decontaminate_exact_counts(spark):
+    """Closed-form decontamination: hand-computed distinct-gram and
+    hit-gram counts, incl. the three edge classes — repeated grams count
+    once (DISTINCT), a doc too short for one n-gram reports 0/0/false,
+    and NULL text (unknown content) likewise evidences nothing."""
+    from biomass_processing_pipeline_spark.operators.text import decontaminate
+
+    train = _df(spark, [
+        (1, "a b c d e"),          # {a b c, b c d, c d e}; hit: c d e
+        (2, "x y z w"),            # {x y z, y z w}; no hits
+        (3, "c d e c d e c d e"),  # distinct {c d e, d e c, e c d}; 1 hit
+        (4, "p q"),                # < n words
+        (5, None),                 # NULL text
+    ])
+    ev = _df(spark, [(100, "c d e f"), (101, "m n o")])
+    got = (
+        decontaminate(train, ev, n=3)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert got.n_grams.tolist() == [3, 2, 3, 0, 0]
+    assert got.n_hit_grams.tolist() == [1, 0, 1, 0, 0]
+    assert got.contaminated.tolist() == [True, False, True, False, False]
+
+
+def test_decontaminate_matches_bruteforce(spark):
+    """Deterministic pseudo-corpus vs a pure-Python set reference: per-doc
+    distinct 4-gram counts and eval-overlap counts match exactly."""
+    from biomass_processing_pipeline_spark.operators.text import decontaminate
+
+    vocab = [f"w{i}" for i in range(7)]
+    docs = [
+        (i, " ".join(vocab[(i * j * j + j) % 7] for j in range(20)))
+        for i in range(40)
+    ]
+    train = [(i, t) for i, t in docs if i % 5 != 0]
+    ev = [(i, t) for i, t in docs if i % 5 == 0]
+
+    def grams(t, n=4):
+        w = t.split(" ")
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    eval_set = set().union(*[grams(t) for _, t in ev])
+    got = (
+        decontaminate(_df(spark, train), _df(spark, ev), n=4)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    for i, t in train:
+        g = grams(t)
+        assert got.loc[i, "n_grams"] == len(g)
+        assert got.loc[i, "n_hit_grams"] == len(g & eval_set)
+        assert bool(got.loc[i, "contaminated"]) == bool(g & eval_set)
