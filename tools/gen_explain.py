@@ -173,6 +173,34 @@ def main() -> None:
         ),
     )
 
+    from biomass_processing_pipeline_spark.operators.similarity import (
+        ivf_assign, semdedup_groups, train_centroids,
+    )
+    from biomass_processing_pipeline_spark.operators.text import decontaminate
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    add(
+        "SemDeDup semantic dedup (within-cluster pair graph + scoped CC)",
+        "The candidate self-join carries two longs per row (cluster "
+        "assignment only); vectors join back onto surviving candidates, "
+        "never onto the full cluster cross product's width. Components "
+        "run in ONE grouped-Arrow union-find pass (edges never cross a "
+        "cluster), so no driver rounds appear anywhere in the plan.",
+        semdedup_groups(emb, ivf_assign(emb, train_centroids(
+            emb, n_centroids=8)), threshold=0.4),
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    add(
+        "Benchmark decontamination (n-gram eval overlap, zero UDFs)",
+        "Word n-grams are native split/sequence/slice/array_join inside "
+        "whole-stage codegen — no ArrowEvalPython node exists in this "
+        "plan. The eval gram set BROADCASTS into a left-semi probe; the "
+        "only exchanges carry slim (doc_id, gram) rows with partial "
+        "aggregation on both distinct and count legs.",
+        decontaminate(docs.where(F.col("doc_id") % 10 != 0),
+                      docs.where(F.col("doc_id") % 10 == 0), n=4),
+    )
+
     body = (
         "# EXPLAIN — executed physical plans of the headline operators\n\n"
         "Auto-generated by tools/gen_explain.py from live plans at "
