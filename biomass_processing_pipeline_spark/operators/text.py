@@ -176,6 +176,96 @@ def word_ngrams_col(text: Column, n: int) -> Column:
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    line_sep: str = "\n",
+    dup_line_max: float = 0.30,
+    top_ngram_max: float = 0.20,
+) -> DataFrame:
+    """Within-document repetition filter (the Gopher/MassiveText quality
+    rules): how much of a single document is itself repeated — the
+    crawl-pathology signal (boilerplate, scraped menus, keyword stuffing)
+    that cross-document dedup never sees.
+
+    -> one row per input doc:
+    ``(id, n_lines, dup_line_frac, dup_line_char_frac, top_ngram_frac,
+    repetitive)`` where
+
+    - ``n_lines`` counts non-empty ``line_sep``-separated segments,
+    - ``dup_line_frac`` is the fraction of those that are repeats of an
+      earlier identical segment (1 - distinct/total),
+    - ``dup_line_char_frac`` weights the same repeats by characters
+      (Gopher's "fraction of characters in duplicate lines"),
+    - ``top_ngram_frac`` is the share of the doc's word ``n``-grams taken
+      by its single most frequent ``n``-gram,
+    - ``repetitive`` flags docs past either threshold (computed on the
+      6-dec-rounded fractions so the flag is reproducible bit-for-bit by
+      the SQL oracle twin).
+
+    NULL text is UNKNOWN content (the dedup-wide rule): it reports
+    0 / 0.0 / 0.0 / 0.0 / false rather than vanishing — same contract as
+    ``decontaminate``. Docs with fewer than ``n`` words report
+    ``top_ngram_frac`` 0. ``line_sep`` is a plain string treated as a
+    literal separator (keep it free of regex metacharacters — it feeds
+    ``split``'s pattern, same convention as ``word_ngrams_col``'s space).
+
+    Scale shape: three partial-aggregated groupBys on slim
+    ``(doc_id, segment)`` rows — the explodes never shuffle whole docs,
+    the per-doc merges are map-side combinable, and the final assembly is
+    two left joins on the doc key. No UDFs anywhere; the whole plan stays
+    inside whole-stage codegen.
+    """
+    t = F.col(text_col)
+    lines = df.select(
+        F.col(id_col), F.explode(F.split(t, line_sep, -1)).alias("_line")
+    ).where(F.length("_line") > 0)
+    per_line = lines.groupBy(id_col, "_line").agg(F.count("*").alias("_c"))
+    per_doc_l = per_line.groupBy(id_col).agg(
+        F.sum("_c").alias("_n_lines"),
+        F.count("*").alias("_nd"),
+        F.sum(F.col("_c") * F.length("_line")).alias("_tot_ch"),
+        F.sum((F.col("_c") - 1) * F.length("_line")).alias("_dup_ch"),
+    )
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams_col(t, n)).alias("_gram")
+    )
+    per_doc_g = (
+        grams.groupBy(id_col, "_gram")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_mx"), F.sum("_c").alias("_tot"))
+    )
+
+    def _frac(num, den):
+        return F.round(
+            F.when(den > 0, num / den.cast("double")).otherwise(F.lit(0.0)), 6
+        )
+
+    out = (
+        df.select(id_col)
+        .join(per_doc_l, id_col, "left")
+        .join(per_doc_g, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("_n_lines", F.lit(0)).alias("n_lines"),
+            _frac(F.col("_n_lines") - F.col("_nd"),
+                  F.coalesce("_n_lines", F.lit(0))).alias("dup_line_frac"),
+            _frac(F.col("_dup_ch"),
+                  F.coalesce("_tot_ch", F.lit(0))).alias("dup_line_char_frac"),
+            _frac(F.col("_mx"),
+                  F.coalesce("_tot", F.lit(0))).alias("top_ngram_frac"),
+        )
+    )
+    return out.withColumn(
+        "repetitive",
+        (F.col("dup_line_frac") > dup_line_max)
+        | (F.col("top_ngram_frac") > top_ngram_max),
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_docs: DataFrame,

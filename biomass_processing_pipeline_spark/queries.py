@@ -2192,6 +2192,140 @@ SQL_DECONTAMINATE = """
 """
 
 
+def q_repetition(spark, sf_dir):
+    """Within-doc repetition stats (Gopher rules) with word-level
+    segments: the synthetic corpus is single-line, so the driver instance
+    sets ``line_sep=' '`` — the duplicate-"line" metrics become
+    duplicate-WORD fractions (heavily exercised: the corpus repeats
+    words), and the top-bigram share rides the same spaces. The pytest
+    fixtures exercise real multi-line text with ``'\\n'``."""
+    from biomass_processing_pipeline_spark.operators.text import (
+        repetition_stats,
+    )
+
+    return repetition_stats(
+        _t(spark, sf_dir, "documents"), n=2, line_sep=" "
+    )
+
+
+SQL_REPETITION = """
+  WITH l AS (SELECT doc_id, unnest(string_split(text, ' ')) AS line
+             FROM documents),
+  nl AS (SELECT doc_id, line, COUNT(*) AS c, LENGTH(line) AS ln
+         FROM l WHERE LENGTH(line) > 0 GROUP BY doc_id, line),
+  pl AS (SELECT doc_id, SUM(c) AS n_lines, COUNT(*) AS nd,
+                SUM(c * ln) AS tot_ch, SUM((c - 1) * ln) AS dup_ch
+         FROM nl GROUP BY doc_id),
+  w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+  g AS (SELECT doc_id, unnest(list_transform(range(1, len(words)),
+               i -> array_to_string(words[i:i+1], ' '))) AS gram FROM w),
+  gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
+  pg AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM gc GROUP BY doc_id)
+  SELECT d.doc_id,
+    CAST(COALESCE(pl.n_lines, 0) AS BIGINT) AS n_lines,
+    CAST(ROUND(CASE WHEN pl.n_lines > 0
+               THEN (pl.n_lines - pl.nd) / CAST(pl.n_lines AS DOUBLE)
+               ELSE 0.0 END, 6) AS DOUBLE) AS dup_line_frac,
+    CAST(ROUND(CASE WHEN pl.tot_ch > 0
+               THEN pl.dup_ch / CAST(pl.tot_ch AS DOUBLE)
+               ELSE 0.0 END, 6) AS DOUBLE) AS dup_line_char_frac,
+    CAST(ROUND(CASE WHEN pg.tot > 0
+               THEN pg.mx / CAST(pg.tot AS DOUBLE)
+               ELSE 0.0 END, 6) AS DOUBLE) AS top_ngram_frac,
+    (CAST(ROUND(CASE WHEN pl.n_lines > 0
+                THEN (pl.n_lines - pl.nd) / CAST(pl.n_lines AS DOUBLE)
+                ELSE 0.0 END, 6) AS DOUBLE) > 0.30
+     OR CAST(ROUND(CASE WHEN pg.tot > 0
+                   THEN pg.mx / CAST(pg.tot AS DOUBLE)
+                   ELSE 0.0 END, 6) AS DOUBLE) > 0.20) AS repetitive
+  FROM documents d
+  LEFT JOIN pl ON pl.doc_id = d.doc_id
+  LEFT JOIN pg ON pg.doc_id = d.doc_id
+"""
+
+
+# the driver-contract mixture: downsample the dominant language, upsample
+# the scarce ones with replacement (fractional rates exercise the
+# Bernoulli leg, >1 rates the replication leg)
+_MIX_RATES = {"en": 0.45, "de": 1.0, "fr": 1.0, "es": 1.5, "unknown": 2.6}
+
+
+def q_mix_sample(spark, sf_dir):
+    """Deterministic training-mix sampling: language-ID the corpus, then
+    re-weight per language (en 0.45x down, unknown 2.6x up with
+    replacement) — map-only modular-arithmetic Bernoulli, zero shuffles
+    past the langid projection, reproducible row-for-row by any SQL
+    engine (no rand, no murmur3)."""
+    from biomass_processing_pipeline_spark.operators.sampling import (
+        mix_sample,
+    )
+    from biomass_processing_pipeline_spark.operators.text import langid_df
+
+    lang = langid_df(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang_guess"
+    )
+    return mix_sample(
+        lang, "lang_guess", _MIX_RATES, key_col="doc_id", seed=42
+    )
+
+
+def _sql_mix_sample() -> str:
+    """Twin with the (base, threshold) literals generated by the SAME
+    ``rate_to_copies`` the engine uses — the Bernoulli compare is pure
+    integer arithmetic, so literal identity IS value identity."""
+    from biomass_processing_pipeline_spark.operators.sampling import (
+        rate_to_copies,
+    )
+
+    base_cases = " ".join(
+        f"WHEN '{g}' THEN {rate_to_copies(r)[0]}"
+        for g, r in _MIX_RATES.items()
+    )
+    thr_cases = " ".join(
+        f"WHEN '{g}' THEN {rate_to_copies(r)[1]}"
+        for g, r in _MIX_RATES.items()
+    )
+    db, dt = rate_to_copies(1.0)
+    return rf"""
+  WITH h AS (
+    SELECT doc_id,
+      LEN(regexp_extract_all(LOWER(text),
+          '\b(the|and|of|to|in|is|that|with)\b')) AS hits_en,
+      LEN(regexp_extract_all(LOWER(text),
+          '\b(der|die|und|das|ist|nicht|mit|ein)\b')) AS hits_de,
+      LEN(regexp_extract_all(LOWER(text),
+          '\b(le|la|et|les|des|est|dans|une)\b')) AS hits_fr,
+      LEN(regexp_extract_all(LOWER(text),
+          '\b(el|la|de|que|los|es|una|por)\b')) AS hits_es
+    FROM documents),
+  lang AS (
+    SELECT doc_id,
+           CASE WHEN GREATEST(hits_en, hits_de, hits_fr, hits_es) = 0
+                  THEN 'unknown'
+                WHEN hits_en = GREATEST(hits_en, hits_de, hits_fr, hits_es)
+                  THEN 'en'
+                WHEN hits_de = GREATEST(hits_en, hits_de, hits_fr, hits_es)
+                  THEN 'de'
+                WHEN hits_fr = GREATEST(hits_en, hits_de, hits_fr, hits_es)
+                  THEN 'fr'
+                ELSE 'es' END AS lang_guess
+    FROM h),
+  par AS (
+    SELECT doc_id, lang_guess,
+           CASE lang_guess {base_cases} ELSE {db} END AS base_n,
+           CASE lang_guess {thr_cases} ELSE {dt} END AS thr,
+           (((doc_id % 2147483648) * 2654435761 + 42) % 2147483647)
+             * 2246822519 % 2147483647 AS hh
+    FROM lang),
+  n_of AS (
+    SELECT doc_id, lang_guess,
+           base_n + CASE WHEN hh < thr THEN 1 ELSE 0 END AS n
+    FROM par)
+  SELECT doc_id, lang_guess, CAST(unnest(range(n)) AS INT) AS sample_copy
+  FROM n_of
+"""
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup semantic dedup: distributed-Lloyd clusters (assignment
     FROZEN to parquet so the DuckDB twin consumes identical clusters),
@@ -2302,6 +2436,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phash_dedup": q_phash_dedup,
     "intersect_rect": q_intersect_rect,
     "decontaminate": q_decontaminate,
+    "repetition": q_repetition,
+    "mix_sample": q_mix_sample,
     "semdedup": q_semdedup,
 }
 
@@ -2351,6 +2487,8 @@ _STATIC_ORACLES: dict[str, str] = {
     "upsert_semantics": SQL_UPSERT,
     "intersect_rect": _sql_intersect_rect(),
     "decontaminate": SQL_DECONTAMINATE,
+    "repetition": SQL_REPETITION,
+    "mix_sample": _sql_mix_sample(),
 }
 
 

@@ -1,0 +1,119 @@
+"""mix_sample: deterministic temperature-mixture sampling goldens."""
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from biomass_processing_pipeline_spark.operators.sampling import (
+    mix_sample,
+    rate_to_copies,
+    sample_hash_col,
+)
+
+_P = 2147483647
+
+
+def _ref_copies(key: int, rate: float, seed: int = 42) -> int:
+    base, thr = rate_to_copies(rate)
+    h = ((key % (1 << 31)) * 2654435761 + seed) % _P * 2246822519 % _P
+    return base + (1 if h < thr else 0)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["k", "grp"]))
+
+
+RATES = {"A": 2.0, "B": 0.5, "C": 0.0, "D": 3.75}
+
+
+def test_mix_sample_closed_form(spark):
+    """Exact per-row copy counts vs the pure-Python reference, incl. the
+    edge classes: integer rate (always 2 copies), pure Bernoulli,
+    rate 0 (row vanishes), fractional >1, a group missing from the map
+    (default 1.0 -> exactly one copy), and a NULL group (matches no
+    `when` arm -> default)."""
+    rows = [(i, g) for i in range(40) for g in ("A", "B", "C", "D")]
+    rows += [(100, "other"), (101, None)]
+    got = (
+        mix_sample(_df(spark, rows), "grp", RATES, key_col="k")
+        .groupBy("k", "grp").agg(
+            F.count("*").alias("n"),
+            F.sort_array(F.collect_list("sample_copy")).alias("copies"),
+        )
+        .toPandas()
+    )
+    seen = {(r.k, r.grp): (r.n, list(r.copies)) for r in got.itertuples()}
+    for k, g in rows:
+        rate = RATES.get(g, 1.0) if g is not None else 1.0
+        n = _ref_copies(k, rate)
+        if n == 0:
+            assert (k, g) not in seen, (k, g)
+        else:
+            # copy index is dense 0..n-1 (the with-replacement contract)
+            assert seen[(k, g)] == (n, list(range(n))), (k, g)
+    # the fixture actually exercised both Bernoulli outcomes of B and D
+    b_counts = {seen.get((k, "B"), (0,))[0] for k, g in rows if g == "B"}
+    d_counts = {seen.get((k, "D"), (0,))[0] for k, g in rows if g == "D"}
+    assert b_counts == {0, 1} and d_counts == {3, 4}
+
+
+def test_mix_sample_partitioning_and_growth_stable(spark):
+    """The keep/replicate decision is a pure function of (key, rate):
+    identical at 1 vs 13 partitions, and unchanged for surviving keys
+    when OTHER rows are added (checkpoint-resume stability)."""
+    rows = [(i, "B" if i % 3 else "D") for i in range(200)]
+
+    def run(data, parts):
+        return (
+            mix_sample(_df(spark, data).repartition(parts), "grp", RATES,
+                       key_col="k")
+            .groupBy("k").count().toPandas()
+            .set_index("k")["count"].to_dict()
+        )
+
+    base = run(rows, 1)
+    assert run(rows, 13) == base
+    grown = run(rows + [(1000 + i, "A") for i in range(50)], 4)
+    assert {k: n for k, n in grown.items() if k < 1000} == base
+
+
+def test_mix_sample_rate_statistics(spark):
+    """Hash uniformity sanity: a 0.5-rate group keeps ~half of 20k keys
+    (binomial 3-sigma band), and a 2.6-rate group emits ~2.6x."""
+    rows = [(i, "half") for i in range(20_000)]
+    n_half = mix_sample(
+        _df(spark, rows), "grp", {"half": 0.5}, key_col="k"
+    ).count()
+    assert abs(n_half - 10_000) < 3 * math.sqrt(20_000 * 0.25)
+    n_up = mix_sample(
+        _df(spark, rows), "grp", {"half": 2.6}, key_col="k"
+    ).count()
+    assert abs(n_up - 52_000) < 3 * math.sqrt(20_000 * 0.6 * 0.4)
+
+
+def test_mix_sample_negative_keys(spark):
+    """pmod keeps negative keys in [0, P) — deterministic, never an ANSI
+    error, and matching the pure-Python wrap."""
+    rows = [(-i, "B") for i in range(1, 300)]
+    got = (
+        mix_sample(_df(spark, rows), "grp", RATES, key_col="k")
+        .groupBy("k").count().toPandas().set_index("k")["count"].to_dict()
+    )
+    for k, _ in rows:
+        assert got.get(k, 0) == _ref_copies(k, 0.5), k
+    hs = (
+        _df(spark, rows)
+        .select(sample_hash_col(F.col("k")).alias("h"))
+        .agg(F.min("h"), F.max("h")).head()
+    )
+    assert 0 <= hs[0] and hs[1] < _P
+
+
+def test_rate_to_copies_validates():
+    with pytest.raises(ValueError):
+        rate_to_copies(-0.1)
+    assert rate_to_copies(1.0) == (1, 0)
+    assert rate_to_copies(0.0) == (0, 0)
+    assert rate_to_copies(2.5) == (2, (_P - 1) // 2)

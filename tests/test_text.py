@@ -142,3 +142,80 @@ def test_decontaminate_matches_bruteforce(spark):
         assert got.loc[i, "n_grams"] == len(g)
         assert got.loc[i, "n_hit_grams"] == len(g & eval_set)
         assert bool(got.loc[i, "contaminated"]) == bool(g & eval_set)
+
+
+def test_repetition_stats_closed_form(spark):
+    """Hand-computed Gopher repetition metrics, incl. the edge classes:
+    duplicate lines weighted by count and by chars, empty lines ignored,
+    a single-line doc exercising only the n-gram leg, NULL text (unknown
+    content) and empty text both reporting zeros/false."""
+    from biomass_processing_pipeline_spark.operators.text import (
+        repetition_stats,
+    )
+
+    df = _df(spark, [
+        (1, "aa\nbb\naa\n\ncc"),   # lines aa,bb,aa,cc; no word bigrams
+        (2, "x y x y x y"),         # 1 line; bigrams {x y:3, y x:2}
+        (3, "l1\nl1\nl1\nl1"),      # 4 identical lines
+        (4, None),
+        (5, ""),
+    ])
+    got = repetition_stats(df).toPandas().set_index("doc_id").sort_index()
+    assert got.n_lines.tolist() == [4, 1, 4, 0, 0]
+    assert got.dup_line_frac.tolist() == [0.25, 0.0, 0.75, 0.0, 0.0]
+    assert got.dup_line_char_frac.tolist() == [0.25, 0.0, 0.75, 0.0, 0.0]
+    assert got.top_ngram_frac.tolist() == [0.0, 0.6, 0.0, 0.0, 0.0]
+    # doc 2 trips top-ngram (0.6 > 0.2), doc 3 trips dup-line (0.75 > 0.3)
+    assert got.repetitive.tolist() == [False, True, True, False, False]
+
+
+def test_repetition_stats_matches_bruteforce(spark):
+    """Deterministic pseudo-corpus (multi-line, skewed word repeats) vs a
+    pure-Python reference, computed identically at 1 and 13 input
+    partitions (partitioning independence)."""
+    from collections import Counter
+
+    from biomass_processing_pipeline_spark.operators.text import (
+        repetition_stats,
+    )
+
+    vocab = [f"w{i}" for i in range(5)]
+    docs = [
+        (i, "\n".join(
+            " ".join(vocab[(i + j * k * k) % 5] for k in range(2 + j % 4))
+            for j in range(1 + i % 7)
+        ))
+        for i in range(60)
+    ]
+
+    def ref(t):
+        lines = [ln for ln in t.split("\n") if ln]
+        lc = Counter(lines)
+        n_lines = sum(lc.values())
+        nd = len(lc)
+        tot = sum(c * len(ln) for ln, c in lc.items())
+        dup = sum((c - 1) * len(ln) for ln, c in lc.items())
+        words = t.split(" ")
+        gc = Counter(
+            " ".join(words[i:i + 2]) for i in range(len(words) - 1)
+        )
+        dl = round((n_lines - nd) / n_lines, 6) if n_lines else 0.0
+        tg = (round(max(gc.values()) / sum(gc.values()), 6) if gc else 0.0)
+        return (
+            n_lines, dl,
+            round(dup / tot, 6) if tot else 0.0, tg,
+            dl > 0.30 or tg > 0.20,
+        )
+
+    for parts in (1, 13):
+        got = (
+            repetition_stats(_df(spark, docs).repartition(parts))
+            .toPandas().set_index("doc_id").sort_index()
+        )
+        for i, t in docs:
+            r = ref(t)
+            row = got.loc[i]
+            assert (
+                row.n_lines, row.dup_line_frac, row.dup_line_char_frac,
+                row.top_ngram_frac, bool(row.repetitive),
+            ) == r, (i, t)

@@ -201,6 +201,38 @@ def main() -> None:
                       docs.where(F.col("doc_id") % 10 == 0), n=4),
     )
 
+    from biomass_processing_pipeline_spark.operators.text import (
+        repetition_stats,
+    )
+
+    add(
+        "Within-doc repetition filter (Gopher rules, zero UDFs)",
+        "Both segment legs explode to slim (doc_id, segment) rows and "
+        "partial-aggregate before their exchanges; the fraction math and "
+        "the threshold flag are codegen'd expressions on the two joined "
+        "per-doc aggregates. No ArrowEvalPython node exists in this plan.",
+        repetition_stats(docs, n=2, line_sep=" "),
+    )
+
+    from biomass_processing_pipeline_spark.operators.sampling import (
+        mix_sample,
+    )
+    from biomass_processing_pipeline_spark.operators.text import langid_df
+
+    add(
+        "Training-mix sampling (map-only deterministic re-weighting)",
+        "ZERO exchanges below the scan: the per-group copy count is a "
+        "codegen'd when-chain + integer hash compare, and the "
+        "with-replacement replication is a native sequence/explode. "
+        "Nothing here shuffles, collects, or calls Python.",
+        mix_sample(
+            langid_df(docs).select("doc_id", "lang_guess"),
+            "lang_guess",
+            {"en": 0.45, "unknown": 2.6},
+            key_col="doc_id",
+        ),
+    )
+
     body = (
         "# EXPLAIN — executed physical plans of the headline operators\n\n"
         "Auto-generated by tools/gen_explain.py from live plans at "
