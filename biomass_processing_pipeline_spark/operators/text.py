@@ -176,6 +176,75 @@ def word_ngrams_col(text: Column, n: int) -> Column:
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref: DataFrame | None = None,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Unigram language-model scoring (the CCNet perplexity-filter shape,
+    reduced to the model that needs no external artifact): score every
+    doc by its average negative log-probability under an add-``alpha``
+    smoothed unigram LM trained on ``ref`` (defaults to the corpus
+    itself). Low = looks like the reference distribution; high =
+    gibberish, boilerplate alphabets, wrong language — the head/middle/
+    tail quality split.
+
+    -> ``(id, n_tokens, avg_neg_logp)`` per input doc, with
+    ``avg_neg_logp = round(-mean(ln((c_w + alpha) / (N + alpha * V))), 6)``
+    in nats (c_w = reference count of token w, N = reference token count,
+    V = reference vocabulary size; unseen tokens take c_w = 0, which is
+    what the smoothing is for). Docs with no tokens — NULL text included
+    (unknown content has no likelihood, the pinned NULL rule) — report
+    ``n_tokens = 0`` with a NULL score, never a fake 0.0.
+
+    Scale shape: the model is two aggregates (token counts + one
+    (N, V) row); the scoring join is a plain hash equi-join on the token
+    — the 100 TB-standard fact-dim join (vocabularies are zipfian and
+    collapse under the partial agg; AQE broadcasts when small). Log
+    determinism across engines rides the same round-6 contract as the
+    Shannon-entropy oracle (ln both sides, one final round).
+    """
+    ref = df if ref is None else ref
+
+    def _tokens(d: DataFrame) -> DataFrame:
+        return d.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), " ", -1)).alias("_tok"),
+        ).where(F.length("_tok") > 0)
+
+    counts = _tokens(ref).groupBy("_tok").agg(F.count("*").alias("_c"))
+    model_size = counts.agg(
+        F.sum("_c").alias("_n"), F.count("*").alias("_v")
+    )
+    scored = (
+        _tokens(df)
+        .join(counts, "_tok", "left")
+        .crossJoin(model_size)
+        .withColumn(
+            "_lp",
+            F.log(
+                (F.coalesce("_c", F.lit(0)) + F.lit(alpha))
+                / (F.col("_n") + F.lit(alpha) * F.col("_v"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(-F.avg("_lp"), 6).alias("avg_neg_logp"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "avg_neg_logp",
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     text_col: str = "text",

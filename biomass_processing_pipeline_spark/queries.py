@@ -2326,6 +2326,39 @@ def _sql_mix_sample() -> str:
 """
 
 
+def q_lm_score(spark, sf_dir):
+    """Unigram-LM quality scoring (the CCNet perplexity-filter shape):
+    train the add-1 unigram model on the even-id half of the corpus,
+    score every doc — exercises the unseen-token smoothing join path
+    structurally while keeping the model a pure corpus statistic."""
+    from biomass_processing_pipeline_spark.operators.text import (
+        unigram_logprob,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob(docs, ref=docs.where(F.col("doc_id") % 2 == 0))
+
+
+SQL_LM_SCORE = """
+  WITH tok AS (
+    SELECT doc_id, t FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+    WHERE LENGTH(t) > 0),
+  c AS (SELECT t, COUNT(*) AS c FROM tok WHERE doc_id % 2 = 0 GROUP BY t),
+  tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM c),
+  scored AS (
+    SELECT tok.doc_id,
+           LN((COALESCE(c.c, 0) + 1.0) / (tot.n + 1.0 * tot.v)) AS lp
+    FROM tok LEFT JOIN c USING (t) CROSS JOIN tot),
+  per AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                 CAST(ROUND(-AVG(lp), 6) AS DOUBLE) AS avg_neg_logp
+          FROM scored GROUP BY doc_id)
+  SELECT d.doc_id, CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+         p.avg_neg_logp
+  FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+"""
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup semantic dedup: distributed-Lloyd clusters (assignment
     FROZEN to parquet so the DuckDB twin consumes identical clusters),
@@ -2438,6 +2471,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "repetition": q_repetition,
     "mix_sample": q_mix_sample,
+    "lm_score": q_lm_score,
     "semdedup": q_semdedup,
 }
 
@@ -2489,6 +2523,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "decontaminate": SQL_DECONTAMINATE,
     "repetition": SQL_REPETITION,
     "mix_sample": _sql_mix_sample(),
+    "lm_score": SQL_LM_SCORE,
 }
 
 

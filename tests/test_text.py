@@ -219,3 +219,50 @@ def test_repetition_stats_matches_bruteforce(spark):
                 row.n_lines, row.dup_line_frac, row.dup_line_char_frac,
                 row.top_ngram_frac, bool(row.repetitive),
             ) == r, (i, t)
+
+
+def test_unigram_logprob_closed_form(spark):
+    """Hand-computed add-1 unigram scores against a separate reference
+    corpus, incl. the unseen-token smoothing path; NULL and empty text
+    report n_tokens 0 with a NULL score (unknown content has no
+    likelihood), never a fake 0.0."""
+    import math
+
+    from biomass_processing_pipeline_spark.operators.text import (
+        unigram_logprob,
+    )
+
+    ref = _df(spark, [(10, "a a b"), (11, "b c")])  # a:2 b:2 c:1, N=5 V=3
+    df = _df(spark, [(1, "a c x"), (2, None), (3, "")])
+    got = (
+        unigram_logprob(df, ref=ref)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert got.n_tokens.tolist() == [3, 0, 0]
+    exp1 = -(math.log(3 / 8) + math.log(2 / 8) + math.log(1 / 8)) / 3
+    assert abs(got.loc[1, "avg_neg_logp"] - round(exp1, 6)) < 1e-9
+    assert pd.isna(got.loc[2, "avg_neg_logp"])
+    assert pd.isna(got.loc[3, "avg_neg_logp"])
+
+
+def test_unigram_logprob_self_ref_ranking(spark):
+    """Self-trained model: a doc of corpus-common words scores LOWER
+    (more likely) than a doc of rare words — the CCNet head/tail split —
+    and the scores are partitioning-independent."""
+    from biomass_processing_pipeline_spark.operators.text import (
+        unigram_logprob,
+    )
+
+    rows = [(i, "common words everywhere " * 3) for i in range(20)]
+    rows += [(100, "common words everywhere common words everywhere"),
+             (101, "zxq vvk jjy pqw nnm rrt")]
+    a = (
+        unigram_logprob(_df(spark, rows))
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert a.loc[100, "avg_neg_logp"] < a.loc[101, "avg_neg_logp"]
+    b = (
+        unigram_logprob(_df(spark, rows).repartition(13))
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert a.equals(b)

@@ -233,6 +233,19 @@ def main() -> None:
         ),
     )
 
+    from biomass_processing_pipeline_spark.operators.text import (
+        unigram_logprob,
+    )
+
+    add(
+        "Unigram-LM quality scoring (token fact-dim join, zero UDFs)",
+        "The model is two partial-aggregated token counts plus one "
+        "(N, V) row that rides a 1-row broadcast; scoring is a single "
+        "hash equi-join on the token followed by a per-doc aggregate — "
+        "no Python, no collect, no wide rows (tokens only).",
+        unigram_logprob(docs, ref=docs.where(F.col("doc_id") % 2 == 0)),
+    )
+
     body = (
         "# EXPLAIN — executed physical plans of the headline operators\n\n"
         "Auto-generated by tools/gen_explain.py from live plans at "
