@@ -82,6 +82,11 @@ def mix_sample(
     decision hashes ``key_col`` only — adding/removing OTHER groups or
     rows never changes whether a given row survives (stable under
     incremental corpus growth, the checkpoint-resume property).
+
+    A NULL key is an UNKNOWN identity (the pinned NULL rule): it cannot
+    be hashed, so the row takes exactly ``floor(rate)`` copies and never
+    draws the Bernoulli extra (``h < thr`` is NULL -> the ``when`` falls
+    to 0) — deterministic, never an error, never a phantom extra copy.
     """
     g = F.col(group_col)
     base_n: Column = F.lit(rate_to_copies(default_rate)[0])

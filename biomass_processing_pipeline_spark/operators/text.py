@@ -199,6 +199,12 @@ def unigram_logprob(
     (unknown content has no likelihood, the pinned NULL rule) — report
     ``n_tokens = 0`` with a NULL score, never a fake 0.0.
 
+    A reference with no tokens at all (empty corpus, or all-NULL text)
+    has no model: every scored doc gets a NULL score (the (N, V) row
+    aggregates to NULL/0 and the NULL propagates through ``ln``) — the
+    SQL twin's SUM-over-empty does the same, so the engines agree by
+    construction rather than by a guard.
+
     Scale shape: the model is two aggregates (token counts + one
     (N, V) row); the scoring join is a plain hash equi-join on the token
     — the 100 TB-standard fact-dim join (vocabularies are zipfian and

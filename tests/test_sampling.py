@@ -111,6 +111,26 @@ def test_mix_sample_negative_keys(spark):
     assert 0 <= hs[0] and hs[1] < _P
 
 
+def test_mix_sample_null_key(spark):
+    """A NULL key is unknown identity: exactly floor(rate) copies, never
+    the Bernoulli extra — deterministic, no ANSI error."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": pd.array([None, None, 7], dtype="Int64"),
+                      "grp": ["D", "B", "D"]})
+    )
+    got = (
+        mix_sample(df, "grp", RATES, key_col="k")
+        .groupBy("grp", F.col("k").isNull().alias("null_key"))
+        .count().toPandas()
+    )
+    seen = {(r.grp, r.null_key): r.count
+            for r in got.itertuples(index=False)}
+    # NULL D -> floor(3.75) = 3 copies; NULL B -> floor(0.5) = 0 (absent)
+    assert seen.get(("D", True)) == 3
+    assert ("B", True) not in seen
+    assert seen.get(("D", False)) == _ref_copies(7, 3.75)
+
+
 def test_rate_to_copies_validates():
     with pytest.raises(ValueError):
         rate_to_copies(-0.1)
