@@ -807,6 +807,91 @@ def dedup_components(
     return labels.select(F.col("id").alias("doc_id"), F.col("rep").alias("rep_id"))
 
 
+def corpus_line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level exact segment dedup (the C4 rule): every duplicated
+    non-empty ``line_sep`` segment is removed EVERYWHERE except its
+    first occurrence — "first" meaning the lexicographically smallest
+    ``(doc id, position)`` across the whole corpus, so the result is a
+    pure function of the data (partition- and arrival-order
+    independent). Boilerplate navigation lines, license blurbs, and
+    scraped menus repeated across millions of pages survive exactly
+    once.
+
+    -> one row per input doc: ``(id, clean_text, n_kept, n_dropped)``
+    where ``clean_text`` is the doc rebuilt from its surviving segments
+    in original order (empty segments are FORMATTING, not content: they
+    always survive and never dedup against each other), and the counts
+    cover non-empty segments. A doc whose every non-empty segment lost
+    (and that has no empty segments) — and a NULL-text doc (unknown
+    content, the pinned rule) — reports ``clean_text`` NULL with
+    ``n_kept`` 0; NULL-text docs also report ``n_dropped`` 0, having
+    evidenced no segments at all.
+
+    Scale shape (10^12 docs is where this op is famous): one shuffle
+    groups identical segments to elect the winner (partial-agg min on a
+    slim struct), the winner set joins back on the same segment key
+    (the exchange is reused), and one groupBy on the doc key rebuilds
+    the text. No UDFs, no windows over the whole corpus, no driver
+    state. ``line_sep`` is a literal string (regex-free, the
+    ``repetition_stats`` convention).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep, -1)).alias(
+            "pos", "_line"
+        ),
+    )
+    ne = lines.where(F.length("_line") > 0)
+    winners = ne.groupBy("_line").agg(
+        F.min(F.struct(id_col, "pos")).alias("_w")
+    )
+    kept_ne = (
+        ne.join(winners, "_line")
+        .where(
+            (F.col(id_col) == F.col(f"_w.{id_col}"))
+            & (F.col("pos") == F.col("_w.pos"))
+        )
+        .select(id_col, "pos", "_line")
+    )
+    kept = kept_ne.unionByName(
+        lines.where(F.length("_line") == 0).select(id_col, "pos", "_line")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            line_sep,
+            F.transform(
+                # pos is unique per doc, so the struct sort is a total
+                # order — the rebuild is deterministic
+                F.array_sort(F.collect_list(F.struct("pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+        ).alias("clean_text"),
+        F.sum(
+            F.when(F.length("_line") > 0, 1).otherwise(0)
+        ).alias("n_kept"),
+    )
+    totals = ne.groupBy(id_col).agg(F.count("*").alias("_n_ne"))
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .join(totals, id_col, "left")
+        .select(
+            F.col(id_col),
+            "clean_text",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (
+                F.coalesce("_n_ne", F.lit(0))
+                - F.coalesce("n_kept", F.lit(0))
+            ).alias("n_dropped"),
+        )
+    )
+
+
 def jaccard_topk(
     df: DataFrame, text_col: str, id_col: str, k: int = 3,
     query_mod: int = 25, shingle_k: int = 5,

@@ -2359,6 +2359,48 @@ SQL_LM_SCORE = """
 """
 
 
+def q_line_dedup(spark, sf_dir):
+    """C4-style corpus-level exact segment dedup at word granularity
+    (the corpus is single-line, so ``line_sep=' '`` exercises the full
+    winner-election + rebuild machinery on a heavily duplicated segment
+    universe; pytest covers real multi-line text)."""
+    from biomass_processing_pipeline_spark.operators.dedup import (
+        corpus_line_dedup,
+    )
+
+    return corpus_line_dedup(_t(spark, sf_dir, "documents"), line_sep=" ")
+
+
+SQL_LINE_DEDUP = """
+  WITH l AS (
+    SELECT doc_id, unnest(range(len(ws))) AS pos, unnest(ws) AS line
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+  ne AS (
+    SELECT doc_id, pos, line,
+           ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+    FROM l WHERE LENGTH(line) > 0),
+  kept AS (
+    SELECT doc_id, pos, line FROM ne WHERE rn = 1
+    UNION ALL
+    SELECT doc_id, pos, line FROM l WHERE LENGTH(line) = 0),
+  rebuilt AS (
+    SELECT doc_id,
+           string_agg(line, ' ' ORDER BY pos) AS clean_text,
+           SUM(CASE WHEN LENGTH(line) > 0 THEN 1 ELSE 0 END) AS n_kept
+    FROM kept GROUP BY doc_id),
+  totals AS (
+    SELECT doc_id, COUNT(*) AS n_ne FROM l WHERE LENGTH(line) > 0
+    GROUP BY doc_id)
+  SELECT d.doc_id, r.clean_text,
+         CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+         CAST(COALESCE(t.n_ne, 0) - COALESCE(r.n_kept, 0) AS BIGINT)
+           AS n_dropped
+  FROM documents d
+  LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+  LEFT JOIN totals t ON t.doc_id = d.doc_id
+"""
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup semantic dedup: distributed-Lloyd clusters (assignment
     FROZEN to parquet so the DuckDB twin consumes identical clusters),
@@ -2472,6 +2514,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition": q_repetition,
     "mix_sample": q_mix_sample,
     "lm_score": q_lm_score,
+    "line_dedup": q_line_dedup,
     "semdedup": q_semdedup,
 }
 
@@ -2524,6 +2567,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "repetition": SQL_REPETITION,
     "mix_sample": _sql_mix_sample(),
     "lm_score": SQL_LM_SCORE,
+    "line_dedup": SQL_LINE_DEDUP,
 }
 
 

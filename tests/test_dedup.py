@@ -743,3 +743,67 @@ def test_null_text_docs_never_pair_but_empty_docs_do(spark):
     tk = jaccard_topk(docs, "text", "doc_id", k=2, query_mod=2).toPandas()
     assert 2 not in set(tk.query_id) and 2 not in set(tk.target_id)
     assert 3 not in set(tk.target_id)
+
+
+def test_corpus_line_dedup_closed_form(spark):
+    """C4 segment dedup goldens: first (doc, pos) occurrence wins
+    globally, empty segments are formatting (always survive), NULL and
+    empty text report the pinned zero/NULL contract."""
+    import pandas as pd
+
+    from biomass_processing_pipeline_spark.operators.dedup import (
+        corpus_line_dedup,
+    )
+
+    df = spark.createDataFrame(pd.DataFrame(
+        [(1, "x\ny\nx"), (2, "y\nz"), (3, "\nx"), (4, None), (5, "")],
+        columns=["doc_id", "text"],
+    ))
+    got = corpus_line_dedup(df).toPandas().set_index("doc_id").sort_index()
+    assert got.clean_text.tolist()[:3] == ["x\ny", "z", ""]
+    assert pd.isna(got.loc[4, "clean_text"])
+    assert got.loc[5, "clean_text"] == ""
+    assert got.n_kept.tolist() == [2, 1, 0, 0, 0]
+    assert got.n_dropped.tolist() == [1, 1, 1, 0, 0]
+
+
+def test_corpus_line_dedup_global_property(spark):
+    """Every distinct non-empty segment survives EXACTLY once across the
+    whole corpus, in its first-(doc, pos) home — identical at 1 and 13
+    partitions."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from biomass_processing_pipeline_spark.operators.dedup import (
+        corpus_line_dedup,
+    )
+
+    docs = [
+        (i, "\n".join(f"seg{(i * 3 + j * j) % 17}" for j in range(5)))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    base = None
+    for parts in (1, 13):
+        got = (
+            corpus_line_dedup(df.repartition(parts))
+            .toPandas().set_index("doc_id").sort_index()
+        )
+        kept = Counter(
+            seg for t in got.clean_text.dropna() for seg in t.split("\n")
+            if seg
+        )
+        all_segs = {
+            seg for _, t in docs for seg in t.split("\n") if seg
+        }
+        assert set(kept) == all_segs and set(kept.values()) == {1}
+        # first-occurrence rule: doc 0 keeps all its 5 (distinct) segments
+        assert got.loc[0, "n_kept"] == len(
+            {f"seg{(0 + j * j) % 17}" for j in range(5)}
+        )
+        cur = got.reset_index().values.tolist()
+        if base is None:
+            base = cur
+        else:
+            assert cur == base

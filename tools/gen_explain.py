@@ -246,6 +246,19 @@ def main() -> None:
         unigram_logprob(docs, ref=docs.where(F.col("doc_id") % 2 == 0)),
     )
 
+    from biomass_processing_pipeline_spark.operators.dedup import (
+        corpus_line_dedup,
+    )
+
+    add(
+        "Corpus-level segment dedup (C4 rule: first occurrence wins)",
+        "One partial-aggregated min-struct shuffle elects each segment's "
+        "winner; the winner join lands on the SAME segment key (exchange "
+        "reuse — no second wide shuffle of the corpus); the rebuild is "
+        "one doc-key aggregate. No windows over the corpus, no UDFs.",
+        corpus_line_dedup(docs, line_sep=" "),
+    )
+
     body = (
         "# EXPLAIN — executed physical plans of the headline operators\n\n"
         "Auto-generated by tools/gen_explain.py from live plans at "
