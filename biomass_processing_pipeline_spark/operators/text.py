@@ -251,6 +251,53 @@ def unigram_logprob(
     )
 
 
+# PII scrub patterns: kept to the regex subset where Java (Spark) and
+# RE2 (DuckDB/at-scale engines) agree — no backrefs, no lookaround, no
+# lazy quantifiers. Applied in list order; replacement tokens contain no
+# digits or '@', so a later pattern can never match inside an earlier
+# replacement.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """PII pattern scrub (the C4-style cleaning stage): replace every
+    occurrence of each ``(name, regex, token)`` pattern and count what
+    was scrubbed -> ``(id, clean_text, n_<name>...)`` per doc.
+
+    Order matters and is the caller's contract: patterns apply in list
+    order against the PROGRESSIVELY scrubbed text (the default tokens
+    are engineered so later patterns cannot match inside earlier
+    replacements — e.g. the IP rule runs before the looser phone rule so
+    dotted quads are never half-eaten as phone digits). Counts are
+    measured on the text each pattern actually saw. NULL text stays
+    NULL with NULL counts (unknown content — nothing was scrubbed and
+    nothing was proven clean; ``regexp_extract_all`` of NULL is NULL,
+    never 0).
+
+    Map-only: native ``regexp_replace``/``regexp_extract_all`` inside
+    whole-stage codegen, zero exchanges, trivially resumable — the
+    100 TB shape for a full-corpus rewrite pass.
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    cur = F.col(text_col)
+    counts = []
+    for name, rx, token in pats:
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(rx), 0)).alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, rx, token)
+    return df.select(F.col(id_col), cur.alias("clean_text"), *counts)
+
+
 def repetition_stats(
     df: DataFrame,
     text_col: str = "text",

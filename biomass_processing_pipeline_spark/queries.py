@@ -2401,6 +2401,63 @@ SQL_LINE_DEDUP = """
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII scrub over deterministic synthesized contact lines (the
+    corpus itself is clean word soup, so each doc gets an email, a
+    dotted-quad, and an international phone derived from its id —
+    constructed identically in the SQL twin): every pattern family is
+    exercised on every row, counts + progressive replacement verified
+    hash-exact."""
+    from biomass_processing_pipeline_spark.operators.text import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" mail u"), d, F.lit("@ex.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel +44 7700 900"),
+            (F.col("doc_id") % 1000).cast("string"),
+        ).alias("text"),
+    )
+    return scrub_pii(synth)
+
+
+SQL_PII_SCRUB = r"""
+  WITH s AS (
+    SELECT doc_id,
+           text || ' mail u' || CAST(doc_id AS VARCHAR)
+                || '@ex.com or 10.0.'
+                || CAST(doc_id % 256 AS VARCHAR)
+                || '.7 tel +44 7700 900'
+                || CAST(doc_id % 1000 AS VARCHAR) AS t
+    FROM documents),
+  e AS (
+    SELECT doc_id,
+      CAST(LEN(regexp_extract_all(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+        AS n_email,
+      regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g') AS t1
+    FROM s),
+  i AS (
+    SELECT doc_id, n_email,
+      CAST(LEN(regexp_extract_all(t1,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip,
+      regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                     '<IP>', 'g') AS t2
+    FROM e),
+  p AS (
+    SELECT doc_id, n_email, n_ip,
+      CAST(LEN(regexp_extract_all(t2, '\+?\d[\d\- ]{7,}\d')) AS INT)
+        AS n_phone,
+      regexp_replace(t2, '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS t3
+    FROM i)
+  SELECT doc_id, t3 AS clean_text, n_email, n_ip, n_phone FROM p
+"""
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup semantic dedup: distributed-Lloyd clusters (assignment
     FROZEN to parquet so the DuckDB twin consumes identical clusters),
@@ -2515,6 +2572,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_sample": q_mix_sample,
     "lm_score": q_lm_score,
     "line_dedup": q_line_dedup,
+    "pii_scrub": q_pii_scrub,
     "semdedup": q_semdedup,
 }
 
@@ -2568,6 +2626,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "mix_sample": _sql_mix_sample(),
     "lm_score": SQL_LM_SCORE,
     "line_dedup": SQL_LINE_DEDUP,
+    "pii_scrub": SQL_PII_SCRUB,
 }
 
 

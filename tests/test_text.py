@@ -266,3 +266,37 @@ def test_unigram_logprob_self_ref_ranking(spark):
         .toPandas().set_index("doc_id").sort_index()
     )
     assert a.equals(b)
+
+
+def test_scrub_pii_closed_form(spark):
+    """Pattern-family goldens incl. the ordering contracts: an
+    email-embedded phone is consumed by the email rule (never
+    half-eaten), dotted quads go to <IP> not <PHONE>, 'g'-style
+    replacement hits every occurrence, NULL text stays NULL with NULL
+    counts (nothing scrubbed, nothing proven clean)."""
+    from biomass_processing_pipeline_spark.operators.text import scrub_pii
+
+    df = _df(spark, [
+        (1, "write bob.smith+x@corp.example.org or sue@ex.io now"),
+        (2, "server 192.168.1.100 and 10.0.0.1 up"),
+        (3, "call +44 7700 900123 today"),
+        (4, "+15558675309@relay.com routes calls"),
+        (5, None),
+        (6, "no pii here at all"),
+    ])
+    got = scrub_pii(df).toPandas().set_index("doc_id").sort_index()
+    assert got.loc[1, "clean_text"] == "write <EMAIL> or <EMAIL> now"
+    assert got.loc[1, "n_email"] == 2
+    assert got.loc[2, "clean_text"] == "server <IP> and <IP> up"
+    assert (got.loc[2, "n_ip"], got.loc[2, "n_phone"]) == (2, 0)
+    assert got.loc[3, "clean_text"] == "call <PHONE> today"
+    assert got.loc[3, "n_phone"] == 1
+    # email wins over phone on the shared prefix (apply order contract)
+    assert got.loc[4, "clean_text"] == "<EMAIL> routes calls"
+    assert (got.loc[4, "n_email"], got.loc[4, "n_phone"]) == (1, 0)
+    assert pd.isna(got.loc[5, "clean_text"])
+    assert pd.isna(got.loc[5, "n_email"])
+    assert got.loc[6, "clean_text"] == "no pii here at all"
+    assert (
+        got.loc[6, ["n_email", "n_ip", "n_phone"]].tolist() == [0, 0, 0]
+    )

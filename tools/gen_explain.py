@@ -259,6 +259,17 @@ def main() -> None:
         corpus_line_dedup(docs, line_sep=" "),
     )
 
+    from biomass_processing_pipeline_spark.operators.text import scrub_pii
+
+    add(
+        "PII pattern scrub (map-only corpus rewrite)",
+        "One Project over the scan: chained regexp_replace + count "
+        "expressions inside a single whole-stage-codegen span — the "
+        "shape a full-corpus rewrite pass must have at 100 TB (zero "
+        "exchanges, per-file resumable).",
+        scrub_pii(docs),
+    )
+
     body = (
         "# EXPLAIN — executed physical plans of the headline operators\n\n"
         "Auto-generated by tools/gen_explain.py from live plans at "
