@@ -15,9 +15,10 @@ must be
   on two ints (the threshold precomputed in Python), so no float
   rounding can flip a row between engines.
 
-ANSI-mode safe: the key folds into [0, 2^31) before the multiply, so
-``k * 48271`` stays under 2^47 — no bigint-overflow tricks (CLAUDE.md
-rule; cells.py's shift discipline).
+ANSI-mode safe: the key folds into [0, 2^31) before the multiplies and
+both hash multipliers are < 2^32, so every product stays under 2^63 —
+no bigint-overflow tricks (CLAUDE.md rule; cells.py's shift
+discipline).
 """
 
 from __future__ import annotations
