@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Two-round multiplicative hash modulo the Mersenne prime 2^31 - 1.
@@ -61,6 +61,78 @@ def rate_to_copies(rate: float) -> tuple[int, int]:
         raise ValueError(f"rate must be >= 0, got {rate}")
     base = math.floor(rate)
     return base, math.floor((rate - base) * _P)
+
+
+def pack_offsets(
+    df: DataFrame,
+    token_col: str,
+    order_col: str,
+    budget: int,
+    bucket_size: int = 65536,
+) -> DataFrame:
+    """GPT-style corpus packing layout: documents are concatenated in
+    ``order_col`` order and chunked into fixed ``budget``-token training
+    windows; each doc learns where it landed ->
+    ``(order_col, n_tokens, start_tok, first_chunk, last_chunk)`` with
+    ``start_tok`` the doc's exclusive global token prefix sum and the
+    chunk ids integer-divisions of its token span (a doc may straddle
+    chunks — that IS the packed-pretraining contract). ``order_col``
+    must be numeric and unique: it defines both the concatenation order
+    and the determinism of the layout.
+
+    The global prefix sum is the part Spark has no scalable primitive
+    for — ``Window.orderBy`` with no partition key collapses the corpus
+    into ONE task. This runs the classic two-level scan instead:
+    (1) docs bucket by ``order_col div bucket_size`` (order-aligned by
+    construction, no sort); (2) per-bucket token sums — one partial-agg
+    shuffle of ``n/bucket_size`` slim rows — take THEIR exclusive prefix
+    sum on the tiny bucket table (the only ordered window, over
+    ``n/bucket_size`` rows; at 10^12 docs pick ``bucket_size`` so that
+    table stays small, or apply the same trick one level deeper);
+    (3) the bucket offsets broadcast back and a per-bucket ordered
+    window finishes the scan in parallel. Zero-token docs — NULL token
+    counts included (unknown content occupies no tokens, the pinned
+    rule) — keep their ``start_tok`` but report NULL chunk ids: they
+    occupy no window.
+    """
+    toks = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+    base = df.select(
+        F.col(order_col),
+        toks.alias("_t"),
+        # integer div truncation is monotone in order_col, which is all
+        # the bucketing needs (order-aligned, exact — no double rounding)
+        F.expr(
+            f"cast({order_col} as long) div {int(bucket_size)}"
+        ).alias("_b"),
+    )
+    bsums = base.groupBy("_b").agg(F.sum("_t").alias("_bs"))
+    w_b = (
+        Window.orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = bsums.select(
+        "_b", F.coalesce(F.sum("_bs").over(w_b), F.lit(0)).alias("_boff")
+    )
+    w_in = (
+        Window.partitionBy("_b").orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = base.join(F.broadcast(boff), "_b").select(
+        order_col, "_t",
+        (F.col("_boff") + F.sum("_t").over(w_in) - F.col("_t"))
+        .alias("start_tok"),
+    )
+    b = int(budget)
+    return cum.select(
+        F.col(order_col),
+        F.col("_t").alias("n_tokens"),
+        "start_tok",
+        F.when(F.col("_t") > 0, F.expr(f"start_tok div {b}"))
+        .alias("first_chunk"),
+        F.when(
+            F.col("_t") > 0, F.expr(f"(start_tok + _t - 1) div {b}")
+        ).alias("last_chunk"),
+    )
 
 
 def mix_sample(

@@ -2458,6 +2458,48 @@ SQL_PII_SCRUB = r"""
 """
 
 
+def q_pack_offsets(spark, sf_dir):
+    """GPT-style packing layout over the corpus in doc_id order,
+    512-token training windows; bucket_size=64 forces the two-level
+    distributed prefix scan through its multi-bucket path even at the
+    smallest tier (the oracle is a plain ordered-window cumsum)."""
+    from biomass_processing_pipeline_spark.operators.sampling import (
+        pack_offsets,
+    )
+    from biomass_processing_pipeline_spark.operators.text import (
+        token_count_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_col(F.col("text")).alias("n_tokens")
+    )
+    return pack_offsets(
+        docs, "n_tokens", "doc_id", budget=512, bucket_size=64
+    )
+
+
+SQL_PACK_OFFSETS = """
+  WITH t AS (
+    SELECT doc_id,
+           COALESCE(LEN(regexp_extract_all(text, '[A-Za-z0-9]+')), 0)
+             AS n_tokens
+    FROM documents),
+  c AS (
+    SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM t)
+  SELECT doc_id,
+         CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(cum - n_tokens AS BIGINT) AS start_tok,
+         CASE WHEN n_tokens > 0
+              THEN CAST((cum - n_tokens) // 512 AS BIGINT) END AS first_chunk,
+         CASE WHEN n_tokens > 0
+              THEN CAST((cum - 1) // 512 AS BIGINT) END AS last_chunk
+  FROM c
+"""
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup semantic dedup: distributed-Lloyd clusters (assignment
     FROZEN to parquet so the DuckDB twin consumes identical clusters),
@@ -2573,6 +2615,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_score": q_lm_score,
     "line_dedup": q_line_dedup,
     "pii_scrub": q_pii_scrub,
+    "pack_offsets": q_pack_offsets,
     "semdedup": q_semdedup,
 }
 
@@ -2627,6 +2670,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "lm_score": SQL_LM_SCORE,
     "line_dedup": SQL_LINE_DEDUP,
     "pii_scrub": SQL_PII_SCRUB,
+    "pack_offsets": SQL_PACK_OFFSETS,
 }
 
 

@@ -137,3 +137,67 @@ def test_rate_to_copies_validates():
     assert rate_to_copies(1.0) == (1, 0)
     assert rate_to_copies(0.0) == (0, 0)
     assert rate_to_copies(2.5) == (2, (_P - 1) // 2)
+
+
+def test_pack_offsets_closed_form(spark):
+    """Hand-computed packing layout: exclusive prefix starts, a doc
+    straddling a 512-token chunk boundary, zero-token and NULL-count
+    docs keeping their start but occupying no chunk; tiny bucket_size
+    forces the two-level scan through its multi-bucket path."""
+    from biomass_processing_pipeline_spark.operators.sampling import (
+        pack_offsets,
+    )
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "n_tokens": pd.array([5, 0, 600, None, 7], dtype="Int64"),
+    }))
+    got = (
+        pack_offsets(df, "n_tokens", "doc_id", budget=512, bucket_size=2)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert got.n_tokens.tolist() == [5, 0, 600, 0, 7]
+    assert got.start_tok.tolist() == [0, 5, 5, 605, 605]
+    first = [None if pd.isna(v) else int(v) for v in got.first_chunk]
+    last = [None if pd.isna(v) else int(v) for v in got.last_chunk]
+    assert first == [0, None, 0, None, 1]
+    assert last == [0, None, 1, None, 1]  # doc 2 straddles chunks 0-1
+
+
+def test_pack_offsets_matches_single_scan(spark):
+    """The two-level distributed scan equals the plain ordered cumsum on
+    a 500-doc corpus (sparse, shuffled-magnitude ids), identically at 1
+    and 13 partitions."""
+    import numpy as np
+
+    from biomass_processing_pipeline_spark.operators.sampling import (
+        pack_offsets,
+    )
+
+    ids = [i * 13 + (i % 7) for i in range(500)]  # sparse, irregular
+    toks = [(i * i * 37) % 900 for i in range(500)]
+    pdf = pd.DataFrame({"doc_id": ids, "n_tokens": toks}).sort_values(
+        "doc_id"
+    )
+    pdf["start_tok"] = pdf.n_tokens.cumsum() - pdf.n_tokens
+    pdf["first_chunk"] = np.where(
+        pdf.n_tokens > 0, pdf.start_tok // 512, -1
+    )
+    pdf["last_chunk"] = np.where(
+        pdf.n_tokens > 0, (pdf.start_tok + pdf.n_tokens - 1) // 512, -1
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ids, "n_tokens": toks})
+    )
+    for parts in (1, 13):
+        got = (
+            pack_offsets(df.repartition(parts), "n_tokens", "doc_id",
+                         budget=512, bucket_size=64)
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert got.doc_id.tolist() == pdf.doc_id.tolist()
+        assert got.start_tok.tolist() == pdf.start_tok.tolist()
+        gf = got.first_chunk.fillna(-1).astype(int).tolist()
+        gl = got.last_chunk.fillna(-1).astype(int).tolist()
+        assert gf == pdf.first_chunk.tolist()
+        assert gl == pdf.last_chunk.tolist()

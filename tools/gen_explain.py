@@ -270,6 +270,28 @@ def main() -> None:
         scrub_pii(docs),
     )
 
+    from biomass_processing_pipeline_spark.operators.sampling import (
+        pack_offsets,
+    )
+    from biomass_processing_pipeline_spark.operators.text import (
+        token_count_col,
+    )
+
+    add(
+        "Training-window packing (two-level distributed prefix scan)",
+        "The ONLY ordered no-partition window runs over the tiny bucket "
+        "table (n/bucket_size rows); the corpus-wide legs are a "
+        "partial-agg bucket-sum exchange, a broadcast of the bucket "
+        "offsets, and per-bucket parallel windows — no single-task "
+        "corpus scan anywhere in the plan.",
+        pack_offsets(
+            docs.select(
+                "doc_id", token_count_col(F.col("text")).alias("n_tokens")
+            ),
+            "n_tokens", "doc_id", budget=512, bucket_size=64,
+        ),
+    )
+
     body = (
         "# EXPLAIN — executed physical plans of the headline operators\n\n"
         "Auto-generated by tools/gen_explain.py from live plans at "
