@@ -837,8 +837,12 @@ def corpus_line_dedup(
     slim struct), the winner set joins back on the same segment key
     (the exchange is reused), and one groupBy on the doc key rebuilds
     the text. No UDFs, no windows over the whole corpus, no driver
-    state. ``line_sep`` is a literal string (regex-free, the
-    ``repetition_stats`` convention).
+    state. A hyper-duplicated segment (a boilerplate line on 10^9
+    pages) is a hot join key on the winner probe — that join emits ONE
+    row per copy and aggregates nothing, exactly the shape AQE's
+    skew-split handles (session default); the election itself is safe
+    (partial-agg min collapses the copies map-side). ``line_sep`` is a
+    literal string (regex-free, the ``repetition_stats`` convention).
     """
     lines = df.select(
         F.col(id_col),
