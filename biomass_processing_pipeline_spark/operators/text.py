@@ -298,6 +298,41 @@ def scrub_pii(
     return df.select(F.col(id_col), cur.alias("clean_text"), *counts)
 
 
+def lm_quality_split(
+    scored: DataFrame,
+    score_col: str = "avg_neg_logp",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet head/middle/tail split: bucket docs by exact corpus
+    tertiles of their LM score (low negative-logprob = most like the
+    reference distribution = ``head``). -> ``(id, score, bucket)``.
+
+    The cuts are ONE tiny aggregate (exact interpolated percentile, the
+    engine/oracle parity the ``percentiles`` query pins) broadcast back
+    onto the corpus — no corpus-wide sort, no single-partition ranking
+    window (an NTILE over 10^12 rows would be exactly that trap). Both
+    the scores (round-6 by ``unigram_logprob``) and the cuts (round-6
+    here) live on the same decimal lattice, so the boundary compare is
+    engine-stable. A NULL score (a token-less/NULL doc — unscoreable)
+    gets a NULL bucket: unknown quality is not a quality tier.
+    """
+    third = 1.0 / 3
+    cuts = scored.agg(
+        F.round(F.percentile(score_col, third), 6).alias("_c1"),
+        F.round(F.percentile(score_col, 2 * third), 6).alias("_c2"),
+    )
+    s = F.col(score_col)
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        F.col(id_col),
+        s.alias(score_col),
+        F.when(s.isNull(), F.lit(None).cast("string"))
+        .when(s <= F.col("_c1"), "head")
+        .when(s <= F.col("_c2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     text_col: str = "text",

@@ -2500,6 +2500,49 @@ SQL_PACK_OFFSETS = """
 """
 
 
+def q_lm_buckets(spark, sf_dir):
+    """CCNet head/middle/tail corpus split: self-trained unigram LM
+    scores bucketed by exact round-6 tertile cuts (one tiny aggregate
+    broadcast back — never a corpus-wide ranking window)."""
+    from biomass_processing_pipeline_spark.operators.text import (
+        lm_quality_split, unigram_logprob,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm_quality_split(unigram_logprob(docs))
+
+
+SQL_LM_BUCKETS = """
+  WITH tok AS (
+    SELECT doc_id, t FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+    WHERE LENGTH(t) > 0),
+  c AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+  tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM c),
+  lp AS (
+    SELECT tok.doc_id,
+           LN((COALESCE(c.c, 0) + 1.0) / (tot.n + 1.0 * tot.v)) AS lp
+    FROM tok LEFT JOIN c USING (t) CROSS JOIN tot),
+  per AS (SELECT doc_id,
+                 CAST(ROUND(-AVG(lp), 6) AS DOUBLE) AS avg_neg_logp
+          FROM lp GROUP BY doc_id),
+  sc AS (
+    SELECT d.doc_id, p.avg_neg_logp
+    FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id),
+  cuts AS (
+    SELECT
+      CAST(ROUND(QUANTILE_CONT(avg_neg_logp, 1.0/3), 6) AS DOUBLE) AS c1,
+      CAST(ROUND(QUANTILE_CONT(avg_neg_logp, 2.0/3), 6) AS DOUBLE) AS c2
+    FROM sc)
+  SELECT doc_id, avg_neg_logp,
+         CASE WHEN avg_neg_logp IS NULL THEN NULL
+              WHEN avg_neg_logp <= c1 THEN 'head'
+              WHEN avg_neg_logp <= c2 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM sc CROSS JOIN cuts
+"""
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup semantic dedup: distributed-Lloyd clusters (assignment
     FROZEN to parquet so the DuckDB twin consumes identical clusters),
@@ -2616,6 +2659,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,
     "pii_scrub": q_pii_scrub,
     "pack_offsets": q_pack_offsets,
+    "lm_buckets": q_lm_buckets,
     "semdedup": q_semdedup,
 }
 
@@ -2671,6 +2715,7 @@ _STATIC_ORACLES: dict[str, str] = {
     "line_dedup": SQL_LINE_DEDUP,
     "pii_scrub": SQL_PII_SCRUB,
     "pack_offsets": SQL_PACK_OFFSETS,
+    "lm_buckets": SQL_LM_BUCKETS,
 }
 
 

@@ -300,3 +300,28 @@ def test_scrub_pii_closed_form(spark):
     assert (
         got.loc[6, ["n_email", "n_ip", "n_phone"]].tolist() == [0, 0, 0]
     )
+
+
+def test_lm_quality_split_closed_form(spark):
+    """Exact tertile buckets on a known score ladder (cuts at the
+    numpy-linear-interpolation values the percentile parity pins);
+    NULL score -> NULL bucket (unknown quality is not a tier)."""
+    import numpy as np
+
+    from biomass_processing_pipeline_spark.operators.text import (
+        lm_quality_split,
+    )
+
+    scores = [float(i) for i in range(1, 10)]
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(1, 10)) + [99],
+        "avg_neg_logp": pd.array(scores + [None], dtype="Float64"),
+    }))
+    got = lm_quality_split(df).toPandas().set_index("doc_id").sort_index()
+    c1 = round(float(np.percentile(scores, 100 / 3)), 6)
+    c2 = round(float(np.percentile(scores, 200 / 3)), 6)
+    exp = ["head" if s <= c1 else "middle" if s <= c2 else "tail"
+           for s in scores]
+    assert got.bucket.tolist()[:9] == exp
+    assert exp.count("head") == 3 and exp.count("tail") == 3
+    assert got.loc[99, "bucket"] is None or pd.isna(got.loc[99, "bucket"])

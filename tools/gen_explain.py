@@ -292,6 +292,20 @@ def main() -> None:
         ),
     )
 
+    from biomass_processing_pipeline_spark.operators.text import (
+        lm_quality_split,
+    )
+
+    add(
+        "CCNet quality tiers (broadcast tertile cuts, no ranking window)",
+        "The tertile cuts are one tiny percentile aggregate broadcast "
+        "back onto the corpus — a bucket assignment per row, NOT an "
+        "NTILE window (which would single-task the corpus). The only "
+        "ordered structure in the plan is inside the 1-row cut "
+        "aggregate.",
+        lm_quality_split(unigram_logprob(docs)),
+    )
+
     body = (
         "# EXPLAIN — executed physical plans of the headline operators\n\n"
         "Auto-generated by tools/gen_explain.py from live plans at "
