@@ -834,15 +834,18 @@ def corpus_line_dedup(
 
     Scale shape (10^12 docs is where this op is famous): one shuffle
     groups identical segments to elect the winner (partial-agg min on a
-    slim struct), the winner set joins back on the same segment key
-    (the exchange is reused), and one groupBy on the doc key rebuilds
-    the text. No UDFs, no windows over the whole corpus, no driver
-    state. A hyper-duplicated segment (a boilerplate line on 10^9
-    pages) is a hot join key on the winner probe — that join emits ONE
-    row per copy and aggregates nothing, exactly the shape AQE's
-    skew-split handles (session default); the election itself is safe
-    (partial-agg min collapses the copies map-side). ``line_sep`` is a
-    literal string (regex-free, the ``repetition_stats`` convention).
+    slim struct), the FULL segment stream left-joins the winner set on
+    the same segment key and carries a ``kept`` FLAG instead of
+    filtering — so ONE doc-key groupBy computes the rebuilt text, the
+    kept count, and the non-empty total together (no second corpus
+    explode, no second doc-key shuffle, no union). No UDFs, no windows
+    over the whole corpus, no driver state. A hyper-duplicated segment
+    (a boilerplate line on 10^9 pages) is a hot join key on the winner
+    probe — that join emits ONE row per copy and aggregates nothing,
+    exactly the shape AQE's skew-split handles (session default); the
+    election itself is safe (partial-agg min collapses the copies
+    map-side). ``line_sep`` is a literal string (regex-free, the
+    ``repetition_stats`` convention).
     """
     lines = df.select(
         F.col(id_col),
@@ -854,39 +857,46 @@ def corpus_line_dedup(
     winners = ne.groupBy("_line").agg(
         F.min(F.struct(id_col, "pos")).alias("_w")
     )
-    kept_ne = (
-        ne.join(winners, "_line")
-        .where(
-            (F.col(id_col) == F.col(f"_w.{id_col}"))
-            & (F.col("pos") == F.col("_w.pos"))
-        )
-        .select(id_col, "pos", "_line")
+    nonempty = F.length("_line") > 0
+    # empty segments never enter the winner table (they're formatting,
+    # always kept); a non-empty segment is kept iff it IS its winner
+    kept = F.when(
+        ~nonempty, F.lit(True)
+    ).otherwise(
+        (F.col(id_col) == F.col(f"_w.{id_col}"))
+        & (F.col("pos") == F.col("_w.pos"))
     )
-    kept = kept_ne.unionByName(
-        lines.where(F.length("_line") == 0).select(id_col, "pos", "_line")
+    flagged = lines.join(winners, "_line", "left").select(
+        id_col, "pos", "_line", nonempty.alias("_ne"), kept.alias("_kept")
     )
-    rebuilt = kept.groupBy(id_col).agg(
+    rebuilt = flagged.groupBy(id_col).agg(
         F.concat_ws(
             line_sep,
             F.transform(
-                # pos is unique per doc, so the struct sort is a total
-                # order — the rebuild is deterministic
-                F.array_sort(F.collect_list(F.struct("pos", "_line"))),
+                # collect_list drops the NULLs the when() leaves for
+                # non-kept rows; pos is unique per doc, so the struct
+                # sort is a total order — the rebuild is deterministic
+                F.array_sort(F.collect_list(
+                    F.when(F.col("_kept"), F.struct("pos", "_line"))
+                )),
                 lambda s: s["_line"],
             ),
-        ).alias("clean_text"),
+        ).alias("_built"),
+        F.sum(F.when(F.col("_kept"), 1).otherwise(0)).alias("_kept_rows"),
         F.sum(
-            F.when(F.length("_line") > 0, 1).otherwise(0)
+            F.when(F.col("_kept") & F.col("_ne"), 1).otherwise(0)
         ).alias("n_kept"),
+        F.sum(F.when(F.col("_ne"), 1).otherwise(0)).alias("_n_ne"),
     )
-    totals = ne.groupBy(id_col).agg(F.count("*").alias("_n_ne"))
     return (
         df.select(id_col)
         .join(rebuilt, id_col, "left")
-        .join(totals, id_col, "left")
         .select(
             F.col(id_col),
-            "clean_text",
+            # every segment lost and none empty -> NULL, not "" (and a
+            # NULL-text doc, absent from the explode, is NULL too)
+            F.when(F.col("_kept_rows") > 0, F.col("_built"))
+            .alias("clean_text"),
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
             (
                 F.coalesce("_n_ne", F.lit(0))

@@ -834,8 +834,13 @@ def q_langid(spark, sf_dir):
     return langid_df(docs).select("doc_id", "lang_guess")
 
 
-SQL_LANGID = r"""
-  WITH h AS (
+# langid twin CTEs, shared by SQL_LANGID and the mix_sample twin (ONE
+# copy to keep: a stopword/tie-rule change edits exactly one string).
+# The leading IS NULL arm mirrors langid_df's no-otherwise when-chain:
+# NULL text -> NULL hits -> every WHEN condition NULL -> NULL lang (the
+# pinned unknown-content rule), where a bare ELSE would misfile it 'es'.
+_SQL_LANG_CTE = r"""
+  h AS (
     SELECT doc_id,
       LEN(regexp_extract_all(LOWER(text),
           '\b(the|and|of|to|in|is|that|with)\b')) AS hits_en,
@@ -845,18 +850,25 @@ SQL_LANGID = r"""
           '\b(le|la|et|les|des|est|dans|une)\b')) AS hits_fr,
       LEN(regexp_extract_all(LOWER(text),
           '\b(el|la|de|que|los|es|una|por)\b')) AS hits_es
-    FROM documents)
-  SELECT doc_id,
-         CASE WHEN GREATEST(hits_en, hits_de, hits_fr, hits_es) = 0
-                THEN 'unknown'
-              WHEN hits_en = GREATEST(hits_en, hits_de, hits_fr, hits_es)
-                THEN 'en'
-              WHEN hits_de = GREATEST(hits_en, hits_de, hits_fr, hits_es)
-                THEN 'de'
-              WHEN hits_fr = GREATEST(hits_en, hits_de, hits_fr, hits_es)
-                THEN 'fr'
-              ELSE 'es' END AS lang_guess
-  FROM h
+    FROM documents),
+  lang AS (
+    SELECT doc_id,
+           CASE WHEN hits_en IS NULL THEN NULL
+                WHEN GREATEST(hits_en, hits_de, hits_fr, hits_es) = 0
+                  THEN 'unknown'
+                WHEN hits_en = GREATEST(hits_en, hits_de, hits_fr, hits_es)
+                  THEN 'en'
+                WHEN hits_de = GREATEST(hits_en, hits_de, hits_fr, hits_es)
+                  THEN 'de'
+                WHEN hits_fr = GREATEST(hits_en, hits_de, hits_fr, hits_es)
+                  THEN 'fr'
+                ELSE 'es' END AS lang_guess
+    FROM h)
+"""
+
+SQL_LANGID = f"""
+  WITH {_SQL_LANG_CTE}
+  SELECT doc_id, lang_guess FROM lang
 """
 
 
@@ -2272,7 +2284,11 @@ def q_mix_sample(spark, sf_dir):
 def _sql_mix_sample() -> str:
     """Twin with the (base, threshold) literals generated by the SAME
     ``rate_to_copies`` the engine uses — the Bernoulli compare is pure
-    integer arithmetic, so literal identity IS value identity."""
+    integer arithmetic, so literal identity IS value identity. The key
+    hash wraps with pmod arithmetic (``((k % m) + m) % m``), the
+    contract ``sample_hash_col`` documents: DuckDB's plain ``%``
+    follows the dividend's sign, so a negative key would otherwise
+    hash negative and always draw the Bernoulli extra."""
     from biomass_processing_pipeline_spark.operators.sampling import (
         rate_to_copies,
     )
@@ -2286,35 +2302,14 @@ def _sql_mix_sample() -> str:
         for g, r in _MIX_RATES.items()
     )
     db, dt = rate_to_copies(1.0)
-    return rf"""
-  WITH h AS (
-    SELECT doc_id,
-      LEN(regexp_extract_all(LOWER(text),
-          '\b(the|and|of|to|in|is|that|with)\b')) AS hits_en,
-      LEN(regexp_extract_all(LOWER(text),
-          '\b(der|die|und|das|ist|nicht|mit|ein)\b')) AS hits_de,
-      LEN(regexp_extract_all(LOWER(text),
-          '\b(le|la|et|les|des|est|dans|une)\b')) AS hits_fr,
-      LEN(regexp_extract_all(LOWER(text),
-          '\b(el|la|de|que|los|es|una|por)\b')) AS hits_es
-    FROM documents),
-  lang AS (
-    SELECT doc_id,
-           CASE WHEN GREATEST(hits_en, hits_de, hits_fr, hits_es) = 0
-                  THEN 'unknown'
-                WHEN hits_en = GREATEST(hits_en, hits_de, hits_fr, hits_es)
-                  THEN 'en'
-                WHEN hits_de = GREATEST(hits_en, hits_de, hits_fr, hits_es)
-                  THEN 'de'
-                WHEN hits_fr = GREATEST(hits_en, hits_de, hits_fr, hits_es)
-                  THEN 'fr'
-                ELSE 'es' END AS lang_guess
-    FROM h),
+    return f"""
+  WITH {_SQL_LANG_CTE},
   par AS (
     SELECT doc_id, lang_guess,
            CASE lang_guess {base_cases} ELSE {db} END AS base_n,
            CASE lang_guess {thr_cases} ELSE {dt} END AS thr,
-           (((doc_id % 2147483648) * 2654435761 + 42) % 2147483647)
+           ((((doc_id % 2147483648) + 2147483648) % 2147483648)
+             * 2654435761 + 42) % 2147483647
              * 2246822519 % 2147483647 AS hh
     FROM lang),
   n_of AS (
@@ -2339,12 +2334,17 @@ def q_lm_score(spark, sf_dir):
     return unigram_logprob(docs, ref=docs.where(F.col("doc_id") % 2 == 0))
 
 
-SQL_LM_SCORE = """
-  WITH tok AS (
+def _sql_lm_cte(ref_where: str) -> str:
+    """Unigram-LM twin CTE block (token explode, add-1 model over the
+    ``ref_where``-filtered reference, per-doc scores) — ONE copy shared
+    by the lm_score and lm_buckets twins so the model arithmetic cannot
+    drift between them."""
+    return f"""
+  tok AS (
     SELECT doc_id, t FROM (
       SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
     WHERE LENGTH(t) > 0),
-  c AS (SELECT t, COUNT(*) AS c FROM tok WHERE doc_id % 2 = 0 GROUP BY t),
+  c AS (SELECT t, COUNT(*) AS c FROM tok {ref_where} GROUP BY t),
   tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM c),
   scored AS (
     SELECT tok.doc_id,
@@ -2353,6 +2353,11 @@ SQL_LM_SCORE = """
   per AS (SELECT doc_id, COUNT(*) AS n_tokens,
                  CAST(ROUND(-AVG(lp), 6) AS DOUBLE) AS avg_neg_logp
           FROM scored GROUP BY doc_id)
+"""
+
+
+SQL_LM_SCORE = f"""
+  WITH {_sql_lm_cte("WHERE doc_id % 2 = 0")}
   SELECT d.doc_id, CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
          p.avg_neg_logp
   FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
@@ -2512,20 +2517,8 @@ def q_lm_buckets(spark, sf_dir):
     return lm_quality_split(unigram_logprob(docs))
 
 
-SQL_LM_BUCKETS = """
-  WITH tok AS (
-    SELECT doc_id, t FROM (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
-    WHERE LENGTH(t) > 0),
-  c AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
-  tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM c),
-  lp AS (
-    SELECT tok.doc_id,
-           LN((COALESCE(c.c, 0) + 1.0) / (tot.n + 1.0 * tot.v)) AS lp
-    FROM tok LEFT JOIN c USING (t) CROSS JOIN tot),
-  per AS (SELECT doc_id,
-                 CAST(ROUND(-AVG(lp), 6) AS DOUBLE) AS avg_neg_logp
-          FROM lp GROUP BY doc_id),
+SQL_LM_BUCKETS = f"""
+  WITH {_sql_lm_cte("")},
   sc AS (
     SELECT d.doc_id, p.avg_neg_logp
     FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id),

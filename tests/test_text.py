@@ -325,3 +325,54 @@ def test_lm_quality_split_closed_form(spark):
     assert got.bucket.tolist()[:9] == exp
     assert exp.count("head") == 3 and exp.count("tail") == 3
     assert got.loc[99, "bucket"] is None or pd.isna(got.loc[99, "bucket"])
+
+
+def test_langid_and_mix_sample_twin_parity_on_edge_rows(spark):
+    """Contract edges the sf fixtures never exercise, pinned engine ==
+    DuckDB twin (the round-5 review findings): (a) NULL text -> NULL
+    lang_guess in BOTH engines (the twin's bare ELSE would misfile it
+    'es'); (b) negative doc_ids hash through the same pmod wrap in both
+    engines (DuckDB's sign-following % would otherwise always draw the
+    Bernoulli extra)."""
+    import duckdb
+
+    from biomass_processing_pipeline_spark.operators.sampling import (
+        mix_sample,
+    )
+    from biomass_processing_pipeline_spark.operators.text import langid_df
+    from biomass_processing_pipeline_spark.queries import (
+        _MIX_RATES, SQL_LANGID, _sql_mix_sample,
+    )
+
+    rows = [(-9, "the house and the garden"), (-4, None),
+            (-1, "zzz qqq"), (3, "the cat is here"), (8, None)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df = spark.createDataFrame(pdf.astype({"doc_id": "int64"}))
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    lang_got = (
+        langid_df(df).select("doc_id", "lang_guess").toPandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    lang_exp = (
+        con.execute(SQL_LANGID).df()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert lang_got.doc_id.tolist() == lang_exp.doc_id.tolist()
+    assert [None if pd.isna(v) else v for v in lang_got.lang_guess] == \
+        [None if pd.isna(v) else v for v in lang_exp.lang_guess]
+    assert pd.isna(lang_got.set_index("doc_id").loc[-4, "lang_guess"])
+
+    mix_got = (
+        mix_sample(langid_df(df).select("doc_id", "lang_guess"),
+                   "lang_guess", _MIX_RATES, key_col="doc_id")
+        .toPandas().sort_values(["doc_id", "sample_copy"])
+        .reset_index(drop=True)
+    )
+    mix_exp = (
+        con.execute(_sql_mix_sample()).df()
+        .sort_values(["doc_id", "sample_copy"]).reset_index(drop=True)
+    )
+    assert mix_got.doc_id.tolist() == mix_exp.doc_id.tolist()
+    assert mix_got.sample_copy.tolist() == mix_exp.sample_copy.tolist()
