@@ -247,9 +247,17 @@ def minhash_lsh_pairs(
     # the banded self-join SLIM (id, band_idx, band_hash only — 3 longs);
     # the arrays join back onto the tiny candidate-pair set for the refine
     # instead of being duplicated x bands x 2 sides through the shuffle
-    sh = with_shingles(
-        df.select(id_col, text_col), text_col, shingle_k
-    ).select(
+    slim = df.select(id_col, text_col)
+    # Everything below (shingle UDF, band UDF, the map side of the band
+    # join) inherits the scan's split count. A small tier's documents
+    # parquet collapses to one split, pinning the whole leg to one task
+    # (measured: the sf0.1 shingle pass ran 0.65 s single-task vs ~0.1 s
+    # fanned out). At fact scale the scan already has >= cores splits and
+    # this is a no-op — the parcel_cover_distributed guard, same rationale.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if slim.rdd.getNumPartitions() < par:
+        slim = slim.repartition(par)
+    sh = with_shingles(slim, text_col, shingle_k).select(
         id_col, "shingles", F.size("shingles").alias("n_sh")
     ).localCheckpoint(eager=False)
     banded = sh.select(
@@ -353,10 +361,23 @@ def _refine_broadcast(cand: DataFrame, sh: DataFrame, id_col: str,
     """Exact-Jaccard refine against a packed CSR broadcast of the shingle
     store: ``cand`` is the SLIM (id_a, id_b, n_a, n_b) candidate stream,
     ``sh`` the (id, shingles sorted-unique, n_sh) table. Per pair,
-    |A∩B| = (a[searchsorted(a, b).clip] == b).sum() — exact for
-    sorted-unique arrays, two vector ops, no hash sets, no array join.
-    jaccard = I / (n_a + n_b - I) in float64: bit-identical to the join
-    plan's int/int division."""
+    |A∩B| = number of probe hits of the SHORTER array in the longer one —
+    exact for sorted-unique arrays. jaccard = I / (n_a + n_b - I) in
+    float64: bit-identical to the join plan's int/int division.
+
+    Round 6 (the VERDICT #5 vectorization + a parallelism fix): the old
+    per-pair Python loop ran ~25 us/pair AND landed on whatever handful
+    of partitions AQE left after the pair dedup (the slim stream is a few
+    MB, so coalescing collapsed it to ~1-5 tasks — measured 3.0 s for a
+    739k-pair refine). Now the stream is round-robin repartitioned to the
+    core count, each task concatenates its Arrow batches and runs ONE
+    ragged pass: pairs sorted by their longer doc, all shorter-side
+    arrays gathered into one probe vector, one searchsorted + one
+    reduceat per distinct longer doc. Python iterations drop from
+    O(pairs) to O(distinct long docs per task); every remaining op is a
+    whole-partition numpy call. (Legal repartition: the gate already
+    bounds this plan to small corpora; the at-scale join refine is
+    untouched.)"""
     pdf = sh.select(id_col, "shingles").toPandas()
     vals = np.concatenate([
         np.asarray(s, dtype=np.int64) for s in pdf["shingles"]
@@ -377,35 +398,60 @@ def _refine_broadcast(cand: DataFrame, sh: DataFrame, id_col: str,
     def gen(batches):
         d = bc.value
         vals, offs, index = d["vals"], d["offs"], d["index"]
-        for pdf_b in batches:
-            m = len(pdf_b)
-            if m == 0:
-                continue
-            ia = pdf_b["id_a"].to_numpy()
-            ib = pdf_b["id_b"].to_numpy()
-            na = pdf_b["n_a"].to_numpy(np.int64)
-            nb = pdf_b["n_b"].to_numpy(np.int64)
-            inter = np.empty(m, dtype=np.int64)
-            for i in range(m):
-                xa, xb = index[ia[i]], index[ib[i]]
-                a = vals[offs[xa]:offs[xa + 1]]
-                b = vals[offs[xb]:offs[xb + 1]]
-                if len(b) < len(a):  # probe the shorter side
-                    a, b = b, a
-                pos = np.searchsorted(a, b)
-                np.minimum(pos, len(a) - 1, out=pos)
-                inter[i] = int((a[pos] == b).sum())
-            jac = inter / (na + nb - inter)
-            keep = jac >= threshold
-            if keep.any():
-                yield pd.DataFrame({
-                    "id_a": ia[keep], "id_b": ib[keep],
-                    "jaccard": jac[keep],
-                })
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf_b = pd.concat(parts, ignore_index=True) if len(parts) > 1 \
+            else parts[0]
+        m = len(pdf_b)
+        ia = pdf_b["id_a"].to_numpy()
+        ib = pdf_b["id_b"].to_numpy()
+        na = pdf_b["n_a"].to_numpy(np.int64)
+        nb = pdf_b["n_b"].to_numpy(np.int64)
+        xa = np.fromiter((index[v] for v in ia), np.int64, count=m)
+        xb = np.fromiter((index[v] for v in ib), np.int64, count=m)
+        # probe the shorter side into the longer (same choice as the old
+        # loop); group pairs by the longer doc so each distinct long doc
+        # costs ONE searchsorted over its concatenated probes
+        swap = lens[xb] < lens[xa]
+        xs = np.where(swap, xb, xa)
+        xl = np.where(swap, xa, xb)
+        order = np.argsort(xl, kind="stable")
+        xs_o, xl_o = xs[order], xl[order]
+        ls = lens[xs_o]
+        ends = np.cumsum(ls)
+        starts = ends - ls
+        total = int(ends[-1])
+        # ragged gather of all shorter-side arrays, pair-major
+        flat = (np.arange(total) - np.repeat(starts, ls)
+                + np.repeat(offs[xs_o], ls))
+        probe = vals[flat]
+        inter_o = np.empty(m, dtype=np.int64)
+        bnds = np.flatnonzero(
+            np.r_[True, xl_o[1:] != xl_o[:-1]]) if m else np.empty(0, int)
+        bnds = np.r_[bnds, m]
+        for g in range(len(bnds) - 1):
+            p0, p1 = int(bnds[g]), int(bnds[g + 1])
+            big = vals[offs[xl_o[p0]]:offs[xl_o[p0] + 1]]
+            pr = probe[starts[p0]:ends[p1 - 1]]
+            pos = np.searchsorted(big, pr)
+            np.minimum(pos, len(big) - 1, out=pos)
+            match = (big[pos] == pr).astype(np.int64)
+            inter_o[p0:p1] = np.add.reduceat(
+                match, starts[p0:p1] - starts[p0])
+        inter = np.empty(m, dtype=np.int64)
+        inter[order] = inter_o
+        jac = inter / (na + nb - inter)
+        keep = jac >= threshold
+        if keep.any():
+            yield pd.DataFrame({
+                "id_a": ia[keep], "id_b": ib[keep],
+                "jaccard": jac[keep],
+            })
 
-    return cand.select("id_a", "id_b", "n_a", "n_b").mapInPandas(
-        gen, schema=out_schema
-    )
+    par = cand.sparkSession.sparkContext.defaultParallelism
+    return cand.select("id_a", "id_b", "n_a", "n_b").repartition(
+        par).mapInPandas(gen, schema=out_schema)
 
 
 def _fnv_ragged(tokens: list) -> np.ndarray:
