@@ -256,6 +256,18 @@ def unigram_logprob(
 # lazy quantifiers. Applied in list order; replacement tokens contain no
 # digits or '@', so a later pattern can never match inside an earlier
 # replacement.
+#
+# RECALL/PRECISION NOTE (ADVICE r05): the default phone pattern is
+# deliberately recall-biased and WILL over-match legitimate numeric
+# runs — any >= 9 chars of digits/spaces/hyphens ("2020 2021 2022",
+# ID columns, table rows) rewrites to <PHONE>, and adjacent numbers
+# separated by single spaces merge into one scrub (no upper length
+# bound). The DuckDB oracle twin embeds the identical literal, so
+# parity holds by construction; callers scrubbing prose corpora where
+# year lists matter should pass a stricter ``patterns`` override (e.g.
+# cap the run length or drop the space from the class). Changing the
+# DEFAULT changes scrubbed corpora and the oracle twin in lockstep —
+# do both or neither.
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),

@@ -201,3 +201,58 @@ def test_pack_offsets_matches_single_scan(spark):
         gl = got.last_chunk.fillna(-1).astype(int).tolist()
         assert gf == pdf.first_chunk.tolist()
         assert gl == pdf.last_chunk.tolist()
+
+
+def test_pack_offsets_validates_eagerly(spark):
+    """budget/bucket_size <= 0 raise ValueError at CALL time (module
+    convention, rate_to_copies precedent) — not an ANSI divide-by-zero
+    SparkException deep inside the executed plan (ADVICE r05)."""
+    from biomass_processing_pipeline_spark.operators.sampling import (
+        pack_offsets,
+    )
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "n_tokens": [3]}))
+    with pytest.raises(ValueError, match="budget"):
+        pack_offsets(df, "n_tokens", "doc_id", budget=0)
+    with pytest.raises(ValueError, match="bucket_size"):
+        pack_offsets(df, "n_tokens", "doc_id", budget=8, bucket_size=0)
+
+
+def test_pack_offsets_deep_levels_match_cumsum(spark):
+    """Forced-tiny buckets (bucket_size=4 over 256 level-1 buckets -> a
+    64-row level-2 table) drive BOTH recursion levels of
+    _exclusive_prefix; result equals the plain ordered cumsum exactly
+    (VERDICT r05 #4: no single-task window over the full corpus at any
+    n)."""
+    from biomass_processing_pipeline_spark.operators.sampling import (
+        pack_offsets,
+    )
+
+    n = 1024
+    ids = list(range(n))
+    toks = [(i * 31) % 97 for i in range(n)]
+    exp = pd.DataFrame({"doc_id": ids, "n_tokens": toks})
+    exp["start_tok"] = exp.n_tokens.cumsum() - exp.n_tokens
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": ids, "n_tokens": toks}))
+    got = (
+        pack_offsets(df.repartition(7), "n_tokens", "doc_id",
+                     budget=64, bucket_size=4)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got.start_tok.tolist() == exp.start_tok.tolist()
+
+
+def test_mix_sample_thousand_groups(spark):
+    """1,000-group rate table (VERDICT r05 #6): the map-literal lookup
+    handles wide mixes without a 1,000-deep when-chain; per-row copies
+    still equal the pure-Python reference."""
+    rates = {f"g{j}": (j % 7) * 0.5 for j in range(1000)}
+    rows = [(i, f"g{i % 1000}") for i in range(3000)]
+    got = (
+        mix_sample(_df(spark, rows), "grp", rates, key_col="k")
+        .groupBy("k", "grp").count().toPandas()
+        .set_index("k")["count"].to_dict()
+    )
+    for i in range(3000):
+        exp = _ref_copies(i, rates[f"g{i % 1000}"])
+        assert got.get(i, 0) == exp, i
