@@ -339,25 +339,31 @@ def crop_rollup(intersections: DataFrame, coeffs: DataFrame) -> DataFrame:
 
 
 def parcel_crop_summary(rollup: DataFrame) -> DataFrame:
-    """A7/A8: per-parcel sums + dominant crop (argmax by area, W2/W3)."""
+    """A7/A8: per-parcel sums + dominant crop (argmax by area, W2/W3).
+
+    The dominant crop is a ``max(struct(area, -class_code))`` in the SAME
+    aggregation as the sums (round 6): identical semantics to the former
+    ``row_number() over (order by area desc, class_code asc) = 1`` window
+    — max area wins, ties take the smaller class — but the plan drops the
+    window's extra exchange+sort AND the sums-join (was a SortMergeJoin
+    of two aggregates of the same parent): 4 Exchanges -> 2, no sort, no
+    join. Identical rows verified by the intersect goldens and the
+    ``intersect_rect`` oracle."""
     per_class = rollup.groupBy("parcel_id", "fips", "class_code").agg(
         F.sum("area_acres").alias("area_acres"),
         F.sum("yield_tons").alias("yield_tons"),
         F.sum("harvestable_tons").alias("harvestable_tons"),
     )
-    w = Window.partitionBy("parcel_id").orderBy(
-        F.desc("area_acres"), F.asc("class_code")
-    )
-    ranked = per_class.withColumn("rn", F.row_number().over(w))
-    sums = per_class.groupBy("parcel_id", "fips").agg(
+    dom = F.max(F.struct(
+        F.col("area_acres"),
+        (-F.col("class_code")).alias("_neg"),
+        F.col("class_code").alias("_cc"),
+    ))
+    return per_class.groupBy("parcel_id", "fips").agg(
         F.sum("area_acres").alias("crop_acres"),
         F.sum("yield_tons").alias("total_yield_tons"),
         F.sum("harvestable_tons").alias("total_harvestable_tons"),
         F.count("*").alias("n_crops"),
+        dom["_cc"].alias("dominant_crop"),
+        dom["area_acres"].alias("dominant_acres"),
     )
-    dominant = ranked.where(F.col("rn") == 1).select(
-        "parcel_id",
-        F.col("class_code").alias("dominant_crop"),
-        F.col("area_acres").alias("dominant_acres"),
-    )
-    return sums.join(dominant, "parcel_id")

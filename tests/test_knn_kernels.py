@@ -204,3 +204,48 @@ def test_brute_pairs_chunk_pooling_is_lossless(pts, tgs, k, chunk):
     got = _norm(zip(*chunked))
     want = _norm(zip(*single))
     assert got == want
+
+
+def test_seg_topk_bucket_prune_branch_exact():
+    """The round-6 bucket pre-prune only engages above 2048 rows (and
+    len > 4*n_groups) — force that branch deterministically and compare
+    the full (sel, rank, cnt, kth) tuple against the prune-free
+    reference (small inputs skip the prune, so the hypothesis fuzz above
+    never reaches it). Heavy engineered ties at the k-th distance land
+    in the boundary bucket and must survive identically."""
+    rng = np.random.default_rng(7)
+    n_groups, per, kk = 64, 200, 13
+    pt = np.repeat(np.arange(n_groups), per)
+    # quantized distances -> many exact ties, including at the cut
+    d = np.round(rng.random(n_groups * per), 2)
+    tie = rng.permutation(n_groups * per).astype(np.int64)
+
+    def ref(pt, d, tie, kk, n_groups):
+        order = np.lexsort((tie, d, pt))
+        pt_s, d_s = pt[order], d[order]
+        cnt = np.bincount(pt_s, minlength=n_groups)
+        starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        rank = np.arange(len(pt_s), dtype=np.int64) - starts[pt_s] + 1
+        take = rank <= kk
+        n_clip = np.minimum(cnt, kk)
+        kth = np.full(n_groups, np.inf)
+        nz = cnt > 0
+        kth[nz] = d_s[starts[nz] + n_clip[nz] - 1]
+        return order[take], rank[take], cnt, kth
+
+    got = _seg_topk(pt, d, tie, kk, n_groups)
+    want = ref(pt, d, tie, kk, n_groups)
+    assert all(np.array_equal(a, b) for a, b in zip(got, want))
+    # degenerate all-equal distances: prune skips via dmax == 0
+    got0 = _seg_topk(pt, np.zeros_like(d), tie, kk, n_groups)
+    want0 = ref(pt, np.zeros_like(d), tie, kk, n_groups)
+    assert all(np.array_equal(a, b) for a, b in zip(got0, want0))
+    # groups with fewer than kk candidates keep everything
+    small = pt[pt < 3][:5]
+    gots = _seg_topk(np.concatenate([pt, small]),
+                     np.concatenate([d, d[:5]]),
+                     np.concatenate([tie, tie[:5] + 100000]), kk, n_groups)
+    wants = ref(np.concatenate([pt, small]),
+                np.concatenate([d, d[:5]]),
+                np.concatenate([tie, tie[:5] + 100000]), kk, n_groups)
+    assert all(np.array_equal(a, b) for a, b in zip(gots, wants))

@@ -135,3 +135,50 @@ def test_corrupt_blob_quarantined_not_fatal(spark):
     assert not stats.loc["00009", "all_phash_ok"]
     assert np.isfinite(stats.loc["00001", "mean_r"])
     assert stats.loc["00001", "all_phash_ok"]
+
+
+def test_batched_decode_bitwise_matches_row_path():
+    """The round-6 batched decode kernel must be BIT-identical to the
+    row-at-a-time reference (_row_partials — the code the oracle goldens
+    were generated with) on a mixed batch: all three codecs, several
+    image shapes (grouped stacking), corrupt rows interleaved
+    (quarantine), an undersized (<8px) image (per-row fallback), and a
+    deliberately wrong stored phash."""
+    from biomass_processing_pipeline_spark import imaging
+    from biomass_processing_pipeline_spark.operators.zonal import (
+        _decode_batches, _row_partials)
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i, (h, w) in enumerate([(64, 64), (48, 32), (64, 64), (32, 48),
+                                (48, 32), (64, 64), (16, 16), (4, 8)]):
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        if i % 3 == 0:
+            px[:, :, 0] = 0
+            px[:, :, 2] = 0  # zero NDVI denominators in play
+        fmt = ["raw", "png", "jpeg"][i % 3]
+        blob = imaging.encode_image(px, fmt)
+        ph = imaging.phash64(imaging.decode_image(blob))
+        rows.append((f"img{i}", blob, ph if i != 5 else ph ^ 3))
+    rows.insert(2, ("corrupt1", b"XX01junk", 0))
+    rows.insert(5, ("corrupt2", imaging.encode_image(
+        rng.integers(0, 256, (64, 64, 3), dtype=np.uint8), "raw")[:50], 0))
+    pdf = pd.DataFrame(rows, columns=["image_id", "bytes", "phash"])
+
+    got = pd.concat(list(_decode_batches(iter([pdf]))), ignore_index=True)
+    want = pd.DataFrame([
+        _row_partials(t.image_id, t.bytes, t.phash)
+        for t in pdf.itertuples(index=False)
+    ])
+    assert list(got.image_id) == list(want.image_id)  # row order kept
+    for c in want.columns:
+        if c == "class_hist":
+            assert all(list(a) == list(b)
+                       for a, b in zip(got[c], want[c])), c
+        else:
+            a = got[c].to_numpy()
+            b = want[c].to_numpy()
+            assert np.array_equal(a, b), (c, a, b)  # exact, incl. float bits
+    assert not got.loc[got.image_id == "img5", "phash_ok"].iloc[0]
+    assert not got.loc[got.image_id.str.startswith("corrupt"),
+                       "phash_ok"].any()
