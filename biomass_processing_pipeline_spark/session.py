@@ -47,9 +47,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         # ZGC: G1 showed multi-second pause storms at 32 mutator threads on
         # shuffle-heavy jobs (measured medians: ZGC 1.5s, ParallelGC 2.4s,
-        # G1 4.5-8.8s for the same warm job)
+        # G1 4.5-8.8s for the same warm job).
+        # AlwaysPreTouch (round 6): this guest charges a large one-time
+        # page-fault cost to whichever job first touches fresh heap — the
+        # CLAUDE.md 226/35/15/8/9 s first-touch decay showed up as 25-55 s
+        # FIRST reps on the knn/zonal/minhash legs in otherwise healthy
+        # windows. Pre-touching the heap at JVM start pays it once,
+        # before any timer runs (alternating fresh-JVM A/B: zonal first
+        # rep 48.9/54.4 -> 8.9/9.4 s, knn first rep 48.9 -> 16.0 s, warm
+        # minima unchanged or better). Same practice as pre-touching
+        # executor heaps on a real cluster; override via BPP_GC.
         .config("spark.driver.extraJavaOptions",
-                os.environ.get("BPP_GC", "-XX:+UseZGC"))
+                os.environ.get("BPP_GC", "-XX:+UseZGC -XX:+AlwaysPreTouch"))
         .config("spark.ui.enabled", "false")
         # broadcast threshold: polygon/code dictionaries are small; let
         # Catalyst broadcast up to 64 MB before falling back to sort-merge.
