@@ -86,8 +86,13 @@ def _row_partials(image_id, blob, phash) -> dict:
     }
 
 
-_CHUNK = 512  # images per vectorized block: bounds the int64 pixel
-# tensor at ~chunk * h * w * c * 8 bytes (~50 MB for 64x64x3)
+_CHUNK = 128  # images per vectorized block. Two bounds: (a) memory —
+# the int64 pixel tensor is chunk * h * w * c * 8 bytes; (b) allocator —
+# keep every transient under glibc's 32 MB adaptive-mmap ceiling so the
+# blocks are heap-recycled instead of fresh-mmap'd per chunk (this guest
+# charges a large fault cost to NEW pages — the CLAUDE.md first-touch
+# cliff; 512-image chunks allocated ~50 MB tensors that could never be
+# reused). 128 x 64x64x3 int64 = 12.6 MB.
 
 
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -184,15 +189,23 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     # last-axis SIMD reduce is ~15x faster and integer
                     # sums are order-independent-exact anyway
                     Y = np.ascontiguousarray(X.transpose(0, 2, 1))
-                    Yi = Y.astype(np.int64)               # (m, c, hw)
-                    s3 = Yi.sum(axis=2)                   # (m, c) exact
-                    ss3 = (Yi * Yi).sum(axis=2)           # exact
+                    # int32 intermediates: every per-element value fits
+                    # (pixel 255, square 65025, class key m*N_CLASSES);
+                    # totals accumulate straight to int64 via the reduce
+                    # dtype, so no wide tensor is ever materialized —
+                    # transients stay small enough for the allocator to
+                    # recycle (see _CHUNK note)
+                    Yi = Y.astype(np.int32)               # (m, c, hw)
+                    s3 = Yi.sum(axis=2, dtype=np.int64)   # (m, c) exact
+                    ss3 = (Yi * Yi).sum(axis=2, dtype=np.int64)  # exact
                     R, NIR = Yi[:, 0, :], Yi[:, 2, :]
                     denom = NIR + R
                     valid = denom > 0
                     numer = NIR - R
-                    nd = numer[valid].astype(np.float64) / \
-                        denom[valid].astype(np.float64)
+                    # int32/int32 true-divide promotes to float64 with
+                    # the identical quotient values the row path's
+                    # float64(int)-operand division produces
+                    nd = np.true_divide(numer[valid], denom[valid])
                     vcnt = valid.sum(axis=1)
                     bounds = np.zeros(m + 1, dtype=np.int64)
                     np.cumsum(vcnt, out=bounds[1:])
@@ -203,7 +216,8 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                         nds[j] = nd[bounds[j]:bounds[j + 1]].sum()
                     cls = (Yi[:, 1, :] * N_CLASSES) // 256
                     hmat = np.bincount(
-                        (np.arange(m)[:, None] * N_CLASSES + cls).ravel(),
+                        (np.arange(m, dtype=np.int32)[:, None] * N_CLASSES
+                         + cls).ravel(),
                         minlength=m * N_CLASSES,
                     ).reshape(m, N_CLASSES)
                     # phash: gray = exact int channel sum / 3.0 — the
