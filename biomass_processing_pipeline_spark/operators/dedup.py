@@ -421,24 +421,45 @@ def _refine_broadcast(cand: DataFrame, sh: DataFrame, id_col: str,
         ls = lens[xs_o]
         ends = np.cumsum(ls)
         starts = ends - ls
-        total = int(ends[-1])
-        # ragged gather of all shorter-side arrays, pair-major
-        flat = (np.arange(total) - np.repeat(starts, ls)
-                + np.repeat(offs[xs_o], ls))
-        probe = vals[flat]
         inter_o = np.empty(m, dtype=np.int64)
-        bnds = np.flatnonzero(
-            np.r_[True, xl_o[1:] != xl_o[:-1]]) if m else np.empty(0, int)
-        bnds = np.r_[bnds, m]
-        for g in range(len(bnds) - 1):
-            p0, p1 = int(bnds[g]), int(bnds[g + 1])
-            big = vals[offs[xl_o[p0]]:offs[xl_o[p0] + 1]]
-            pr = probe[starts[p0]:ends[p1 - 1]]
-            pos = np.searchsorted(big, pr)
-            np.minimum(pos, len(big) - 1, out=pos)
-            match = (big[pos] == pr).astype(np.int64)
-            inter_o[p0:p1] = np.add.reduceat(
-                match, starts[p0:p1] - starts[p0])
+        # process the sorted pair stream in ~2M-element blocks: the
+        # ragged gather materializes a handful of element-sized arrays,
+        # and an unbounded partition (the x10 tier puts ~45M probe
+        # elements in one task) would allocate them as one-shot mmap
+        # regions — fresh-page cost every call in this guest (the zonal
+        # _CHUNK note). Blocks keep each transient ~16 MB and
+        # heap-recycled; group boundaries may straddle blocks, which
+        # just re-runs searchsorted on the same big array — harmless.
+        blk_elems = 2_000_000
+        p_start = 0
+        while p_start < m:
+            p_stop = int(np.searchsorted(
+                ends, ends[p_start] - ls[p_start] + blk_elems, side="left"
+            )) + 1
+            p_stop = min(max(p_stop, p_start + 1), m)
+            base_off = starts[p_start]
+            ls_b = ls[p_start:p_stop]
+            ends_b = ends[p_start:p_stop] - base_off
+            starts_b = ends_b - ls_b
+            total = int(ends_b[-1])
+            # ragged gather of this block's shorter-side arrays
+            flat = (np.arange(total) - np.repeat(starts_b, ls_b)
+                    + np.repeat(offs[xs_o[p_start:p_stop]], ls_b))
+            probe = vals[flat]
+            xl_b = xl_o[p_start:p_stop]
+            n_blk = p_stop - p_start
+            bnds = np.flatnonzero(np.r_[True, xl_b[1:] != xl_b[:-1]])
+            bnds = np.r_[bnds, n_blk]
+            for g in range(len(bnds) - 1):
+                p0, p1 = int(bnds[g]), int(bnds[g + 1])
+                big = vals[offs[xl_b[p0]]:offs[xl_b[p0] + 1]]
+                pr = probe[starts_b[p0]:ends_b[p1 - 1]]
+                pos = np.searchsorted(big, pr)
+                np.minimum(pos, len(big) - 1, out=pos)
+                match = (big[pos] == pr).astype(np.int64)
+                inter_o[p_start + p0:p_start + p1] = np.add.reduceat(
+                    match, starts_b[p0:p1] - starts_b[p0])
+            p_start = p_stop
         inter = np.empty(m, dtype=np.int64)
         inter[order] = inter_o
         jac = inter / (na + nb - inter)
