@@ -48,17 +48,17 @@ def get_spark(
         # ZGC: G1 showed multi-second pause storms at 32 mutator threads on
         # shuffle-heavy jobs (measured medians: ZGC 1.5s, ParallelGC 2.4s,
         # G1 4.5-8.8s for the same warm job).
-        # AlwaysPreTouch (round 6): this guest charges a large one-time
-        # page-fault cost to whichever job first touches fresh heap — the
-        # CLAUDE.md 226/35/15/8/9 s first-touch decay showed up as 25-55 s
-        # FIRST reps on the knn/zonal/minhash legs in otherwise healthy
-        # windows. Pre-touching the heap at JVM start pays it once,
-        # before any timer runs (alternating fresh-JVM A/B: zonal first
-        # rep 48.9/54.4 -> 8.9/9.4 s, knn first rep 48.9 -> 16.0 s, warm
-        # minima unchanged or better). Same practice as pre-touching
-        # executor heaps on a real cluster; override via BPP_GC.
+        # AlwaysPreTouch was TRIED and REJECTED in round 6: isolated
+        # fresh-JVM legs showed it removing first-rep page-fault cliffs
+        # (zonal first rep 48.9/54.4 -> 8.9/9.4 s), but full-suite
+        # alternating A/B flipped the sign — pre-touching the 24 GB heap
+        # evicts this guest's ~2 GB pinned page cache, so every blob
+        # scan goes back to disk (same-window pairs: 45.6 vs 22.5 s and
+        # 26.6 vs 18.5 s suite, zonal min 11.7 vs 3.3 s, blob first
+        # touch 2-4x worse). Min-of-N already absorbs the first-rep
+        # cliff; cache locality it cannot recover. Override via BPP_GC.
         .config("spark.driver.extraJavaOptions",
-                os.environ.get("BPP_GC", "-XX:+UseZGC -XX:+AlwaysPreTouch"))
+                os.environ.get("BPP_GC", "-XX:+UseZGC"))
         .config("spark.ui.enabled", "false")
         # broadcast threshold: polygon/code dictionaries are small; let
         # Catalyst broadcast up to 64 MB before falling back to sort-merge.
